@@ -1,0 +1,231 @@
+"""Multi-view geometry primitives, batched for TPU.
+
+Replaces src/GeometricTools.cc (fundamental from poses, DLT triangulation)
+and the deterministic parts of src/TwoViewReconstruction.cc (8-point
+fundamental, homography DLT, E decomposition, cheirality checks) with
+vmappable closed forms. RANSAC drivers live in ransac.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import lie
+
+
+def triangulate_dlt(
+    P1: jax.Array, P2: jax.Array, x1: jax.Array, x2: jax.Array
+) -> jax.Array:
+    """DLT triangulation (GeometricTools::Triangulate, src/GeometricTools.cc:46).
+
+    P1, P2: (...,3,4) projection matrices; x1, x2: (...,2) image points in
+    the same normalization as P. Returns (...,3) euclidean points.
+    """
+    A = jnp.stack(
+        [
+            x1[..., 0, None] * P1[..., 2, :] - P1[..., 0, :],
+            x1[..., 1, None] * P1[..., 2, :] - P1[..., 1, :],
+            x2[..., 0, None] * P2[..., 2, :] - P2[..., 0, :],
+            x2[..., 1, None] * P2[..., 2, :] - P2[..., 1, :],
+        ],
+        axis=-2,
+    )  # (...,4,4)
+    # Null vector of A: last right-singular vector.
+    _, _, vt = jnp.linalg.svd(A)
+    X = vt[..., 3, :]
+    w = X[..., 3]
+    w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    return X[..., :3] / w_safe[..., None]
+
+
+def projection_matrix(K: jax.Array, R: jax.Array, t: jax.Array) -> jax.Array:
+    """(3,3),(3,3),(3,) -> (3,4) P = K [R|t]."""
+    return K @ jnp.concatenate([R, t[..., None]], axis=-1)
+
+
+def fundamental_from_poses(
+    R1w, t1w, R2w, t2w, K1, K2
+) -> jax.Array:
+    """F12 such that x2^T F x1 = 0 (GeometricTools::ComputeF12)."""
+    R12 = R1w @ jnp.swapaxes(R2w, -1, -2)
+    t12 = t1w - jnp.einsum("...ij,...j->...i", R12, t2w)
+    E12 = lie.hat(t12) @ R12
+    K1it = jnp.linalg.inv(jnp.swapaxes(K1, -1, -2))
+    K2i = jnp.linalg.inv(K2)
+    return K1it @ E12 @ K2i
+
+
+def normalize_points(x: jax.Array, valid: jax.Array):
+    """Hartley normalization: zero-mean, mean abs dev 1 per axis
+    (TwoViewReconstruction::Normalize, src/TwoViewReconstruction.cc:816)."""
+    w = valid.astype(x.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(x * w[:, None], axis=0) / n
+    d = jnp.abs(x - mean) * w[:, None]
+    md = jnp.sum(d, axis=0) / n
+    s = 1.0 / jnp.where(md < 1e-9, 1.0, md)
+    xn = (x - mean) * s
+    T = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype=x.dtype
+    )
+    T = T.at[0, 0].set(s[0]).at[1, 1].set(s[1])
+    T = T.at[0, 2].set(-mean[0] * s[0]).at[1, 2].set(-mean[1] * s[1])
+    return xn, T
+
+
+def fundamental_8pt(x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """8-point fundamental from (8,2)+(8,2) normalized correspondences
+    (TwoViewReconstruction::ComputeF21). Rank-2 enforced."""
+    u1, v1 = x1[:, 0], x1[:, 1]
+    u2, v2 = x2[:, 0], x2[:, 1]
+    ones = jnp.ones_like(u1)
+    A = jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], axis=-1
+    )  # (8,9)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    F = vt[8].reshape(3, 3)
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[2].set(0.0)
+    return U @ jnp.diag(S) @ Vt
+
+
+def fundamental_weighted(x1: jax.Array, x2: jax.Array, w: jax.Array) -> jax.Array:
+    """Least-squares 8-point F over N weighted correspondences (the
+    inlier polish after RANSAC; rows with w=0 drop out)."""
+    u1, v1 = x1[:, 0], x1[:, 1]
+    u2, v2 = x2[:, 0], x2[:, 1]
+    ones = jnp.ones_like(u1)
+    A = jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], axis=-1
+    ) * w[:, None]
+    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    F = vt[-1].reshape(3, 3)
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[2].set(0.0)
+    return U @ jnp.diag(S) @ Vt
+
+
+def homography_weighted(x1: jax.Array, x2: jax.Array, w: jax.Array) -> jax.Array:
+    """Least-squares DLT homography over N weighted correspondences."""
+    u1, v1 = x1[:, 0], x1[:, 1]
+    u2, v2 = x2[:, 0], x2[:, 1]
+    z = jnp.zeros_like(u1)
+    o = jnp.ones_like(u1)
+    r1 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1)
+    r2 = jnp.stack([u1, v1, o, z, z, z, -u2 * u1, -u2 * v1, -u2], axis=-1)
+    A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    return vt[-1].reshape(3, 3)
+
+
+def homography_dlt(x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """DLT homography x2 ~ H x1 from (n>=4,2) correspondences
+    (TwoViewReconstruction::ComputeH21)."""
+    n = x1.shape[0]
+    u1, v1 = x1[:, 0], x1[:, 1]
+    u2, v2 = x2[:, 0], x2[:, 1]
+    z = jnp.zeros_like(u1)
+    o = jnp.ones_like(u1)
+    r1 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1)
+    r2 = jnp.stack([u1, v1, o, z, z, z, -u2 * u1, -u2 * v1, -u2], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)  # (2n,9)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    return vt[8].reshape(3, 3)
+
+
+def epipolar_sq_errors(F21: jax.Array, x1: jax.Array, x2: jax.Array):
+    """Squared point-to-epipolar-line distances both ways
+    (TwoViewReconstruction::CheckFundamental residuals)."""
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
+    x2h = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], axis=-1)
+    l2 = x1h @ F21.T  # line in image 2
+    l1 = x2h @ F21
+    num = jnp.sum(l2 * x2h, axis=-1) ** 2
+    e2 = num / jnp.maximum(l2[..., 0] ** 2 + l2[..., 1] ** 2, 1e-12)
+    e1 = num / jnp.maximum(l1[..., 0] ** 2 + l1[..., 1] ** 2, 1e-12)
+    return e1, e2
+
+
+def homography_sq_errors(H21: jax.Array, x1: jax.Array, x2: jax.Array):
+    """Symmetric transfer errors for H (CheckHomography residuals)."""
+
+    def transfer(H, a, b):
+        ah = jnp.concatenate([a, jnp.ones_like(a[..., :1])], axis=-1)
+        p = ah @ H.T
+        w = jnp.where(jnp.abs(p[..., 2]) < 1e-12, 1e-12, p[..., 2])
+        uv = p[..., :2] / w[..., None]
+        return jnp.sum((uv - b) ** 2, axis=-1)
+
+    H12 = jnp.linalg.inv(H21)
+    return transfer(H12, x2, x1), transfer(H21, x1, x2)
+
+
+def decompose_essential(E: jax.Array):
+    """E -> (R1, R2, t) candidate motions (DecomposeE,
+    src/TwoViewReconstruction.cc:997)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # Ensure proper rotations.
+    d = jnp.linalg.det(U @ Vt)
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R1 = jnp.where(jnp.linalg.det(R1) < 0, -R1, R1)
+    R2 = U @ W.T @ Vt
+    R2 = jnp.where(jnp.linalg.det(R2) < 0, -R2, R2)
+    t = U[:, 2]
+    t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+    del d
+    return R1, R2, t
+
+
+def check_rt(
+    R: jax.Array,
+    t: jax.Array,
+    x1: jax.Array,
+    x2: jax.Array,
+    K: jax.Array,
+    valid: jax.Array,
+    th2: float = 4.0,
+):
+    """Cheirality + reprojection check for one (R,t) hypothesis
+    (TwoViewReconstruction::CheckRT, src/TwoViewReconstruction.cc:865).
+
+    x1, x2 are *pixel* coordinates. Returns (n_good, good_mask, parallax,
+    points3d in camera-1 frame).
+    """
+    P1 = projection_matrix(K, jnp.eye(3, dtype=K.dtype), jnp.zeros(3, K.dtype))
+    P2 = projection_matrix(K, R, t)
+    X = triangulate_dlt(P1[None], P2[None], x1, x2)  # (N,3) in cam1
+    finite = jnp.all(jnp.isfinite(X), axis=-1)
+    z1 = X[:, 2]
+    X2 = (R @ X.T).T + t
+    z2 = X2[:, 2]
+    # Parallax between viewing rays.
+    O2 = -R.T @ t
+    n1 = X
+    n2 = X - O2
+    cosp = jnp.sum(n1 * n2, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(n1, axis=-1) * jnp.linalg.norm(n2, axis=-1), 1e-12
+    )
+    # Reprojection errors.
+    uv1 = (K @ (X / jnp.maximum(z1[:, None], 1e-12)).T).T[:, :2]
+    uv2 = (K @ (X2 / jnp.maximum(z2[:, None], 1e-12)).T).T[:, :2]
+    e1 = jnp.sum((uv1 - x1) ** 2, axis=-1)
+    e2 = jnp.sum((uv2 - x2) ** 2, axis=-1)
+    good = (
+        valid
+        & finite
+        & (z1 > 0)
+        & (z2 > 0)
+        & (cosp < 0.99998)
+        & (e1 < th2)
+        & (e2 < th2)
+    )
+    n_good = jnp.sum(good.astype(jnp.int32))
+    # Median-ish parallax of good points: use the 50th quantile of angles.
+    par = jnp.where(good, jnp.degrees(jnp.arccos(jnp.clip(cosp, -1, 1))), 0.0)
+    return n_good, good, par, X
+
+
+triangulate_dlt = jax.jit(triangulate_dlt)
+fundamental_from_poses = jax.jit(fundamental_from_poses)

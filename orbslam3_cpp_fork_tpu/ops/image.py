@@ -1,0 +1,120 @@
+"""Image-space ops for the front-end: pyramid, Gaussian blur, remap.
+
+TPU-native replacements for the OpenCV calls in the reference front-end:
+- `cv::resize` pyramid build (ORBextractor::ComputePyramid,
+  src/ORBextractor.cc:1140-1170) -> `build_pyramid` (bilinear resize).
+- `cv::GaussianBlur(7,7,sigma=2)` before descriptor sampling
+  (src/ORBextractor.cc:1103-1109) -> separable depthwise convolution
+  (`gaussian_blur7`), which XLA maps onto fused convolutions.
+- `cv::remap` stereo rectification (System::TrackStereo,
+  src/System.cc:282-301) -> `remap_bilinear` gather.
+
+Images are float32 [H, W] grayscale in 0..255 (uint8 range kept so the
+FAST thresholds 20/7 from the reference configs apply unchanged).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+N_LEVELS = 8
+SCALE_FACTOR = 1.2
+
+
+def pyramid_shapes(h: int, w: int, n_levels: int = N_LEVELS, scale: float = SCALE_FACTOR):
+    """Static per-level (H, W) list, matching ComputePyramid's rounding."""
+    shapes = []
+    for l in range(n_levels):
+        s = 1.0 / (scale**l)
+        shapes.append((max(1, int(round(h * s))), max(1, int(round(w * s)))))
+    return shapes
+
+
+def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize with half-pixel centers (cv::resize INTER_LINEAR)."""
+    h, w = img.shape[-2], img.shape[-1]
+    oh, ow = out_hw
+    sy, sx = h / oh, w / ow
+    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * sy - 0.5
+    xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * sx - 0.5
+    y0 = jnp.clip(jnp.floor(ys), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)
+    wx = jnp.clip(xs - x0, 0.0, 1.0)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    top = img[..., y0i, :][..., :, x0i] * (1 - wx) + img[..., y0i, :][..., :, x1i] * wx
+    bot = img[..., y1i, :][..., :, x0i] * (1 - wx) + img[..., y1i, :][..., :, x1i] * wx
+    return top * (1 - wy[..., :, None]) + bot * wy[..., :, None]
+
+
+def build_pyramid(img: jax.Array, n_levels: int = N_LEVELS, scale: float = SCALE_FACTOR):
+    """Return a list of per-level images; level 0 is the input.
+
+    Like the reference, each level is resized from the previous one (not
+    from level 0), which slightly low-passes coarse levels.
+    """
+    shapes = pyramid_shapes(img.shape[-2], img.shape[-1], n_levels, scale)
+    levels = [img]
+    for l in range(1, n_levels):
+        levels.append(resize_bilinear(levels[-1], shapes[l]))
+    return levels
+
+
+def _gaussian_kernel1d(ksize: int, sigma: float) -> jnp.ndarray:
+    r = (ksize - 1) / 2
+    x = jnp.arange(ksize, dtype=jnp.float32) - r
+    k = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
+    """Separable Gaussian blur with BORDER_REFLECT_101 padding (OpenCV default)."""
+    k = _gaussian_kernel1d(ksize, sigma)
+    pad = ksize // 2
+    x = img[None, None]  # NCHW
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    kh = k.reshape(1, 1, ksize, 1)
+    kw = k.reshape(1, 1, 1, ksize)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+    return x[0, 0]
+
+
+gaussian_blur7 = partial(gaussian_blur, ksize=7, sigma=2.0)
+
+
+def remap_bilinear(img: jax.Array, map_x: jax.Array, map_y: jax.Array) -> jax.Array:
+    """cv::remap with bilinear interpolation; out-of-bounds reads 0.
+
+    map_x/map_y give, for each destination pixel, the source coordinates.
+    Used for stereo rectification with maps precomputed on the host
+    (reference Settings::precomputeRectificationMaps, src/Settings.cc:458).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    x0 = jnp.floor(map_x)
+    y0 = jnp.floor(map_y)
+    wx = map_x - x0
+    wy = map_y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def sample(yi, xi):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yi_c = jnp.clip(yi, 0, h - 1)
+        xi_c = jnp.clip(xi, 0, w - 1)
+        return jnp.where(inb, img[yi_c, xi_c], 0.0)
+
+    v = (
+        sample(y0i, x0i) * (1 - wx) * (1 - wy)
+        + sample(y0i, x0i + 1) * wx * (1 - wy)
+        + sample(y0i + 1, x0i) * (1 - wx) * wy
+        + sample(y0i + 1, x0i + 1) * wx * wy
+    )
+    return v

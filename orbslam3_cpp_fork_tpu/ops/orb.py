@@ -1,0 +1,346 @@
+"""ORB feature extraction as batched XLA programs (TPU-native ORBextractor).
+
+Re-designs the reference's per-pixel C++ extractor (src/ORBextractor.cc)
+as whole-image vectorized kernels:
+
+- FAST-9/16 corner response for an entire pyramid level at once: the 16
+  Bresenham-circle neighbors are materialized as shifted views and the
+  contiguous-arc test/score is a static 16x9 min/max reduction on the VPU
+  (replaces cv::FAST inside ComputeKeyPointsOctTree,
+  src/ORBextractor.cc:755-881).
+- Threshold fallback 20 -> 7 (reference :800-839) is reproduced by
+  computing both responses and preferring high-threshold corners per cell.
+- The sequential quadtree `DistributeOctTree` (:556-754) becomes a
+  grid-bucketed ranked top-K: features are ranked within spatial cells and
+  selected globally by (cell-rank, -score), which reproduces the spatial
+  balancing *intent* (round-robin across cells) in one sort.
+- Intensity-centroid orientation (IC_Angle :66-93) is computed for the
+  whole level as a 2-channel 31x31 convolution with the x/y moment
+  kernels, then gathered at keypoints.
+- Steered BRIEF (computeOrbDescriptor :94-140) samples the 256-pair
+  pattern (public OpenCV constant table, stored as data in
+  orb_pattern.npy) from the 7x7 sigma=2 blurred level with per-keypoint
+  rotation; bits are packed to uint32[8] and also returned as int8[256]
+  for MXU popcount-matmul matching.
+
+All shapes are static per level; the whole extractor jits into a single
+XLA program per image resolution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .image import N_LEVELS, SCALE_FACTOR, build_pyramid, gaussian_blur7
+
+# 16 Bresenham circle offsets (dy, dx), circular order.
+_CIRCLE = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+    ],
+    dtype=np.int32,
+)
+
+EDGE_MARGIN = 16  # reference minBorder = EDGE_THRESHOLD - 3 (src/ORBextractor.cc:759)
+HALF_PATCH = 15  # IC_Angle patch radius (include/ORBextractor.h HALF_PATCH_SIZE)
+
+_PATTERN = np.load(os.path.join(os.path.dirname(__file__), "orb_pattern.npy"))  # (256,4)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Features:
+    """SoA feature set for one image (all levels merged, fixed capacity).
+
+    xy      (N,2) float32 — keypoint position at level-0 scale.
+    level   (N,)  int32   — pyramid level (octave).
+    angle   (N,)  float32 — orientation, radians.
+    score   (N,)  float32 — FAST score.
+    desc    (N,8) uint32  — packed 256-bit descriptors.
+    desc_i8 (N,256) int8  — unpacked bits for MXU matmul matching.
+    valid   (N,)  bool    — slot validity mask.
+    """
+
+    xy: jax.Array
+    level: jax.Array
+    angle: jax.Array
+    score: jax.Array
+    desc: jax.Array
+    desc_i8: jax.Array
+    valid: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[0]
+
+
+def _shifted(img_pad: jax.Array, dy: int, dx: int, h: int, w: int, pad: int) -> jax.Array:
+    return jax.lax.dynamic_slice(img_pad, (pad + dy, pad + dx), (h, w))
+
+
+def fast_score(img: jax.Array, threshold: float) -> jax.Array:
+    """FAST-9/16 corner score for every pixel (0 where not a corner).
+
+    Score is the OpenCV definition for segment tests: the largest t' such
+    that the pixel is still a corner, here computed as
+    max over contiguous 9-arcs of (min diff within the arc) for both
+    polarities, minus nothing (diffs already have the threshold applied at
+    test time; score uses raw diffs so NMS ranks identically to OpenCV).
+    """
+    h, w = img.shape
+    pad = 3
+    img_pad = jnp.pad(img, pad, mode="edge")
+    center = img
+    diffs = jnp.stack(
+        [_shifted(img_pad, int(dy), int(dx), h, w, pad) - center for dy, dx in _CIRCLE]
+    )  # (16, H, W)
+
+    bright = diffs - threshold  # >0 where neighbor is brighter by >t
+    dark = -diffs - threshold  # >0 where neighbor darker by >t
+
+    def arc_score(d):
+        # For each of 16 circular starts, min over the 9-long arc; corner
+        # score is the max over starts (positive iff some full arc passes).
+        # Log-doubling windowed min: min9[s] = min(d[s..s+8]) circularly.
+        m2 = jnp.minimum(d, jnp.roll(d, -1, axis=0))
+        m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=0))
+        m8 = jnp.minimum(m4, jnp.roll(m4, -4, axis=0))
+        m9 = jnp.minimum(m8, jnp.roll(d, -8, axis=0))
+        return jnp.max(m9, axis=0)
+
+    score = jnp.maximum(arc_score(bright), arc_score(dark))
+    score = jnp.maximum(score, 0.0)
+    # Exclude borders where the circle reads padded values.
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    inb = (yy >= pad) & (yy < h - pad) & (xx >= pad) & (xx < w - pad)
+    return jnp.where(inb, score, 0.0)
+
+
+def nms3(score: jax.Array) -> jax.Array:
+    """3x3 non-maximum suppression."""
+    m = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where(score >= m, score, 0.0)
+
+
+def _per_level_budget(n_features: int, n_levels: int, scale: float) -> list[int]:
+    """Geometric per-level feature budget (reference ctor :403-466)."""
+    inv = 1.0 / scale
+    first = n_features * (1 - inv) / (1 - inv**n_levels)
+    budgets, acc = [], 0
+    for l in range(n_levels - 1):
+        b = int(round(first * inv**l))
+        budgets.append(b)
+        acc += b
+    budgets.append(max(n_features - acc, 0))
+    return budgets
+
+
+def select_keypoints(
+    score: jax.Array, n_max: int, cell: int = 32, k_per_cell: int = 8
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Spatially balanced top-n_max selection.
+
+    Returns (xy int32 (n_max,2) as (x,y), score (n_max,), valid (n_max,)).
+    Selection order: all cell-rank-0 features by score, then rank-1, ...
+    — the one-shot equivalent of DistributeOctTree's round-robin split.
+    """
+    h, w = score.shape
+    ch = math.ceil(h / cell)
+    cw = math.ceil(w / cell)
+    ph, pw = ch * cell, cw * cell
+    s = jnp.pad(score, ((0, ph - h), (0, pw - w)))
+    # (ncells, cell*cell)
+    cells = s.reshape(ch, cell, cw, cell).transpose(0, 2, 1, 3).reshape(ch * cw, cell * cell)
+    k = min(k_per_cell, cell * cell)
+    top_s, top_i = jax.lax.top_k(cells, k)  # per-cell descending
+    # Flat image coordinates of the per-cell winners.
+    cy = jnp.arange(ch * cw) // cw
+    cx = jnp.arange(ch * cw) % cw
+    iy = cy[:, None] * cell + top_i // cell
+    ix = cx[:, None] * cell + top_i % cell
+    rank = jnp.broadcast_to(jnp.arange(k)[None, :], top_s.shape)
+    valid_c = top_s > 0.0
+    # Sort key: small rank first, then high score. Scores are FAST diffs
+    # (< 512), so rank * 1024 dominates.
+    key = jnp.where(valid_c, rank.astype(jnp.float32) * 1024.0 - top_s, jnp.inf)
+    key_f = key.reshape(-1)
+    order = jnp.argsort(key_f)[:n_max]
+    sel_valid = jnp.isfinite(key_f[order])
+    sel_y = iy.reshape(-1)[order]
+    sel_x = ix.reshape(-1)[order]
+    sel_s = top_s.reshape(-1)[order]
+    xy = jnp.stack([sel_x, sel_y], axis=-1).astype(jnp.int32)
+    return xy, jnp.where(sel_valid, sel_s, 0.0), sel_valid
+
+
+def _moment_kernels() -> np.ndarray:
+    """31x31 circular-patch x/y moment kernels for IC_Angle."""
+    r = HALF_PATCH
+    ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
+    # Reference umax: circle of radius 15 (src/ORBextractor.cc:447-465).
+    mask = (xs**2 + ys**2) <= r**2 + r  # matches round(sqrt(r^2 - y^2)) extents closely
+    kx = (xs * mask).astype(np.float32)
+    ky = (ys * mask).astype(np.float32)
+    return np.stack([kx, ky])  # (2, 31, 31)
+
+
+_MOMENTS = _moment_kernels()
+
+
+def orientation_maps(img: jax.Array) -> jax.Array:
+    """(2, H, W) maps of m10 (x moment) and m01 (y moment) per pixel."""
+    k = jnp.asarray(_MOMENTS)[:, None]  # (2,1,31,31) OIHW
+    x = img[None, None]
+    pad = HALF_PATCH
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+    out = jax.lax.conv_general_dilated(x, k, (1, 1), "VALID")
+    return out[0]  # (2, H, W)
+
+
+def compute_angles(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """IC_Angle at integer keypoint positions xy=(x,y) on this level."""
+    m = orientation_maps(img)
+    m10 = m[0][xy[:, 1], xy[:, 0]]
+    m01 = m[1][xy[:, 1], xy[:, 0]]
+    return jnp.arctan2(m01, m10)
+
+
+def compute_descriptors(
+    blurred: jax.Array, xy: jax.Array, angle: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Steered BRIEF-256. Returns (packed uint32 (N,8), bits int8 (N,256))."""
+    h, w = blurred.shape
+    pat = jnp.asarray(_PATTERN, dtype=jnp.float32)  # (256,4) x1,y1,x2,y2
+    ax = pat[:, 0]
+    ay = pat[:, 1]
+    bx = pat[:, 2]
+    by = pat[:, 3]
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (N,)
+
+    def rot(px, py):
+        # (N,256) rotated integer offsets (reference computeOrbDescriptor
+        # GET_VALUE: cvRound(px*b + py*a), cvRound(px*a - py*b) with
+        # a=cos, b=sin; x' = px cos - py sin, y' = px sin + py cos.)
+        rx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None])
+        ry = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None])
+        return rx.astype(jnp.int32), ry.astype(jnp.int32)
+
+    axr, ayr = rot(ax, ay)
+    bxr, byr = rot(bx, by)
+    x0 = xy[:, 0:1]
+    y0 = xy[:, 1:2]
+
+    def sample(xr, yr):
+        xi = jnp.clip(x0 + xr, 0, w - 1)
+        yi = jnp.clip(y0 + yr, 0, h - 1)
+        return blurred[yi, xi]
+
+    va = sample(axr, ayr)
+    vb = sample(bxr, byr)
+    bits = (va < vb).astype(jnp.uint32)  # (N,256)
+    # Pack: bit j of word i is pair (i*32 + j).
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    words = jnp.sum(bits.reshape(-1, 8, 32) << shifts[None, None, :], axis=-1)
+    return words.astype(jnp.uint32), bits.astype(jnp.int8)
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbParams:
+    n_features: int = 1000
+    n_levels: int = N_LEVELS
+    scale_factor: float = SCALE_FACTOR
+    th_fast_high: float = 20.0
+    th_fast_low: float = 7.0
+    cell: int = 32
+    k_per_cell: int = 8
+    # Slack so dense levels can absorb budget unfilled at sparse levels.
+    level_slack: float = 1.25
+
+
+def extract_orb(img: jax.Array, p: OrbParams = OrbParams()) -> Features:
+    """Full ORB extraction for one grayscale image (float32, 0..255).
+
+    One XLA program: pyramid, per-level FAST + balanced selection,
+    orientation, blurred BRIEF; levels merged into a fixed-capacity
+    feature set ranked by (level fill first, then leftover score).
+    """
+    levels = build_pyramid(img, p.n_levels, p.scale_factor)
+    budgets = _per_level_budget(p.n_features, p.n_levels, p.scale_factor)
+    caps = [max(8, int(b * p.level_slack)) for b in budgets]
+
+    per_level = []
+    for l, lvl in enumerate(levels):
+        s_hi = nms3(fast_score(lvl, p.th_fast_high))
+        s_lo = nms3(fast_score(lvl, p.th_fast_low))
+        # Fallback policy: prefer high-threshold corners; where a cell has
+        # no high corners the low-threshold ones appear with a score
+        # penalty so they rank after all high corners in that cell.
+        s = jnp.where(s_hi > 0, s_lo + 1024.0, jnp.where(s_lo > 0, s_lo, 0.0))
+        # Exclude the extraction border.
+        h, w = lvl.shape
+        yy = jnp.arange(h)[:, None]
+        xx = jnp.arange(w)[None, :]
+        inb = (
+            (yy >= EDGE_MARGIN)
+            & (yy < h - EDGE_MARGIN)
+            & (xx >= EDGE_MARGIN)
+            & (xx < w - EDGE_MARGIN)
+        )
+        s = jnp.where(inb, s, 0.0)
+        xy, score, valid = select_keypoints(s, caps[l], p.cell, p.k_per_cell)
+        angle = compute_angles(lvl, xy)
+        blurred = gaussian_blur7(lvl)
+        desc, bits = compute_descriptors(blurred, xy, angle)
+        scale_l = p.scale_factor**l
+        per_level.append(
+            dict(
+                xy=xy.astype(jnp.float32) * scale_l,
+                level=jnp.full((caps[l],), l, jnp.int32),
+                angle=angle,
+                score=jnp.where(valid, score, 0.0),
+                desc=desc,
+                desc_i8=bits,
+                valid=valid,
+                # Rank within level for capacity trimming.
+                rank=jnp.arange(caps[l], dtype=jnp.int32),
+                budget=jnp.full((caps[l],), budgets[l], jnp.int32),
+            )
+        )
+
+    cat = {k: jnp.concatenate([d[k] for d in per_level]) for k in per_level[0]}
+    total_cap = cat["xy"].shape[0]
+    # Global trim to n_features: in-budget slots first (by score), then
+    # slack slots by score — mirrors the reference's exact-budget output.
+    in_budget = (cat["rank"] < cat["budget"]) & cat["valid"]
+    key = jnp.where(
+        cat["valid"],
+        jnp.where(in_budget, 0.0, 4096.0) - jnp.minimum(cat["score"], 4095.0),
+        jnp.inf,
+    )
+    order = jnp.argsort(key)[: p.n_features]
+    sel_valid = jnp.isfinite(key[order])
+    return Features(
+        xy=cat["xy"][order],
+        level=cat["level"][order],
+        angle=cat["angle"][order],
+        score=cat["score"][order],
+        desc=cat["desc"][order],
+        desc_i8=cat["desc_i8"][order],
+        valid=sel_valid,
+    )
+
+
+extract_orb_jit = jax.jit(extract_orb, static_argnames=("p",))
+fast_score_jit = jax.jit(fast_score)
+nms3_jit = jax.jit(nms3)
