@@ -1,0 +1,153 @@
+"""Synthetic test sequences with exact ground truth.
+
+The sandbox has no dataset images (EuRoC/TUM blobs are not shipped), so
+sequence-level regression uses rendered scenes: a random 3D blob field
+observed from a smooth camera trajectory. Blob intensity is a property
+of the 3D point (viewpoint-invariant), sizes scale with inverse depth,
+so ORB descriptors are stable across views — the rendered analog of the
+reference's EuRoC evaluation protocol (SURVEY.md §4, §6).
+
+Also provides a deterministic IMU track for the same trajectory for
+visual-inertial tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..utils import lie
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class SyntheticScene:
+    points: np.ndarray  # (P,3) world
+    intensity: np.ndarray  # (P,)
+    size: np.ndarray  # (P,) fixed on-screen blob size (viewpoint-invariant
+    # so ORB descriptors stay stable across frames)
+    width: int
+    height: int
+    K: np.ndarray  # (3,3)
+
+
+def make_scene(
+    n_points=1200,
+    extent=12.0,
+    depth=(3.0, 10.0),
+    width=640,
+    height=480,
+    fx=400.0,
+    seed=0,
+    size_range=(5, 11),
+) -> SyntheticScene:
+    rng = np.random.default_rng(seed)
+    # Points spread in a thick frontal slab the trajectory flies along.
+    pts = np.stack(
+        [
+            rng.uniform(-extent, extent, n_points),
+            rng.uniform(-extent * 0.4, extent * 0.4, n_points),
+            rng.uniform(depth[0], depth[1], n_points),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    K = np.array(
+        [[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1]], np.float32
+    )
+    return SyntheticScene(
+        points=pts,
+        intensity=rng.uniform(70, 240, n_points).astype(np.float32),
+        size=rng.integers(*size_range, n_points).astype(np.int32),
+        width=width,
+        height=height,
+        K=K,
+    )
+
+
+def smooth_trajectory(n_frames=60, step=0.06, yaw_rate=0.004, seed=1):
+    """Forward-lateral dolly with slow yaw — returns (R_wc, t_wc) lists
+    of camera-to-world poses (camera looks along +z)."""
+    Rs, ts = [], []
+    R = np.eye(3, dtype=np.float32)
+    t = np.zeros(3, np.float32)
+    rng = np.random.default_rng(seed)
+    for i in range(n_frames):
+        Rs.append(R.copy())
+        ts.append(t.copy())
+        yaw = yaw_rate * (1.0 + 0.3 * np.sin(i * 0.15))
+        dR = np.asarray(lie.so3_exp(jnp.asarray([0.0, yaw, 0.0])))
+        R = (R @ dR).astype(np.float32)
+        # Move mostly laterally (good parallax) with slight forward drift.
+        step_vec = np.array([step, 0.12 * step * np.sin(i * 0.2), 0.3 * step], np.float32)
+        t = t + R @ step_vec
+    return np.stack(Rs), np.stack(ts)
+
+
+def render_frame(scene: SyntheticScene, R_wc: np.ndarray, t_wc: np.ndarray) -> np.ndarray:
+    """Render one grayscale frame (float32, 0..255) from a camera pose
+    given in camera-to-world convention."""
+    R_cw = R_wc.T
+    t_cw = -R_cw @ t_wc
+    pc = scene.points @ R_cw.T + t_cw
+    z = pc[:, 2]
+    vis = z > 0.3
+    uv = pc[vis] @ scene.K.T
+    uv = uv[:, :2] / uv[:, 2:3]
+    zz = z[vis]
+    ii = scene.intensity[vis]
+    ss = scene.size[vis]
+    img = np.full((scene.height, scene.width), 35.0, np.float32)
+    order = np.argsort(-zz)  # far first (near blobs overwrite)
+    for j in order:
+        u, v = uv[j]
+        s = int(ss[j])
+        half = s // 2
+        iu, iv = int(round(u)) - half, int(round(v)) - half
+        if -s < iu < scene.width and -s < iv < scene.height:
+            u0, u1 = max(iu, 0), min(iu + s, scene.width)
+            v0, v1 = max(iv, 0), min(iv + s, scene.height)
+            img[v0:v1, u0:u1] = ii[j]
+    return img
+
+
+def render_sequence(scene, Rs_wc, ts_wc):
+    return [render_frame(scene, R, t) for R, t in zip(Rs_wc, ts_wc)]
+
+
+def imu_from_trajectory(Rs_wc, ts_wc, frame_dt: float, imu_rate: int = 200):
+    """Exact IMU measurements for a piecewise-smooth interpolation of the
+    keyframe trajectory (for VI tests). Returns per-frame-interval lists
+    of (acc, gyro, dt). Gravity = -9.81 z_world."""
+    from ..ops.imu import GRAVITY
+
+    g = np.array([0.0, 0.0, -GRAVITY])
+    n = len(Rs_wc)
+    sub = max(int(round(imu_rate * frame_dt)), 2)
+    out = []
+    # Cubic-free simple approach: spline positions with finite differences
+    # at the IMU rate using linear pose interpolation per interval.
+    for i in range(n - 1):
+        R0, R1 = Rs_wc[i], Rs_wc[i + 1]
+        t0, t1 = ts_wc[i], ts_wc[i + 1]
+        w = np.asarray(lie.so3_log(jnp.asarray(R0.T @ R1))) / frame_dt
+        accs, gyrs, dts = [], [], []
+        dt = frame_dt / sub
+        # Velocity via central differences over neighbor frames.
+        v0 = (t1 - (ts_wc[i - 1] if i > 0 else t0)) / (frame_dt * (2 if i > 0 else 1))
+        v1 = ((ts_wc[i + 2] if i + 2 < n else t1) - t0) / (frame_dt * (2 if i + 2 < n else 1))
+        a_w = (v1 - v0) / frame_dt
+        for s in range(sub):
+            alpha = (s + 0.5) / sub
+            R_ws = R0 @ np.asarray(lie.so3_exp(jnp.asarray(w * frame_dt * alpha)))
+            accs.append(R_ws.T @ (a_w - g))
+            gyrs.append(w)
+            dts.append(dt)
+        out.append(
+            (
+                np.asarray(accs, np.float32),
+                np.asarray(gyrs, np.float32),
+                np.asarray(dts, np.float32),
+            )
+        )
+    return out

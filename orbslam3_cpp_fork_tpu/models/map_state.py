@@ -1,0 +1,291 @@
+"""The SLAM map as fixed-capacity structure-of-arrays state.
+
+Replaces the reference's mutex-guarded pointer graph — KeyFrame
+(src/KeyFrame.cc), MapPoint (src/MapPoint.cc), Map (src/Map.cc) — with
+flat arrays + validity masks managed by the host orchestrator:
+
+- Keyframes: poses (Tcw), per-feature keypoints/descriptors, and the
+  observation table `kf_lm_idx` (feature -> landmark id, -1 if none) —
+  the SoA equivalent of Frame::mvpMapPoints.
+- Landmarks: position, representative descriptor, viewing normal and
+  scale-invariance band (MapPoint::UpdateNormalAndDepth,
+  src/MapPoint.cc:471-541), found/visible counters for culling.
+- Covisibility is not stored as an adjacency list: the boolean
+  incidence matrix `obs` (K x L) makes covisibility weights one matmul
+  (`obs @ obs[k]`), replacing KeyFrame::UpdateConnections
+  (src/KeyFrame.cc:476-575).
+
+Everything device-facing is padded to the capacities below; slots are
+recycled through free lists (compaction instead of deletion), so jitted
+programs never see a shape change. This file is host-side numpy; heavy
+math stays in ops/ and optim/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# Per-level scale info (matching ORBextractor defaults).
+SCALE_FACTOR = 1.2
+N_LEVELS = 8
+LEVEL_SIGMA2 = (SCALE_FACTOR ** (2 * np.arange(N_LEVELS))).astype(np.float32)
+
+
+@dataclasses.dataclass
+class MapConfig:
+    max_keyframes: int = 256
+    max_landmarks: int = 16384
+    n_features: int = 1000  # per-keyframe feature capacity
+
+
+class MapState:
+    """One map of the Atlas (reference Map). Host-side, numpy-backed."""
+
+    def __init__(self, cfg: MapConfig = MapConfig(), map_id: int = 0):
+        self.cfg = cfg
+        self.map_id = map_id
+        K, L, N = cfg.max_keyframes, cfg.max_landmarks, cfg.n_features
+
+        # Keyframes.
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))  # Tcw
+        self.kf_t = np.zeros((K, 3), np.float32)
+        self.kf_timestamp = np.zeros(K, np.float64)
+        self.kf_frame_id = np.full(K, -1, np.int64)
+        # Per-keyframe features.
+        self.kf_xy = np.zeros((K, N, 2), np.float32)  # undistorted px
+        self.kf_level = np.zeros((K, N), np.int32)
+        self.kf_angle = np.zeros((K, N), np.float32)
+        self.kf_desc = np.zeros((K, N, 8), np.uint32)  # packed 256-bit
+        self.kf_feat_valid = np.zeros((K, N), bool)
+        self.kf_lm_idx = np.full((K, N), -1, np.int32)  # feature -> landmark
+        # Stereo/RGB-D right coordinate (<0 = mono feature).
+        self.kf_ur = np.full((K, N), -1.0, np.float32)
+        self.kf_depth = np.full((K, N), -1.0, np.float32)
+
+        # Landmarks.
+        self.lm_valid = np.zeros(L, bool)
+        self.lm_pos = np.zeros((L, 3), np.float32)
+        self.lm_desc = np.zeros((L, 8), np.uint32)
+        self.lm_desc_i8 = np.zeros((L, 256), np.int8)  # unpacked for MXU
+        self.lm_normal = np.zeros((L, 3), np.float32)
+        self.lm_min_dist = np.zeros(L, np.float32)
+        self.lm_max_dist = np.zeros(L, np.float32)
+        self.lm_level = np.zeros(L, np.int32)  # reference observation level
+        self.lm_visible = np.zeros(L, np.int32)
+        self.lm_found = np.zeros(L, np.int32)
+        self.lm_first_kf = np.full(L, -1, np.int32)
+        self.lm_obs_count = np.zeros(L, np.int32)
+
+        # Observation incidence (covisibility source of truth).
+        self.obs = np.zeros((K, L), bool)
+
+        self._next_kf_slot = 0
+        self._next_lm_slot = 0
+
+    # ------------------------------------------------------------------
+    # Slot allocation (free-list compaction: invalid slots are reused).
+    # ------------------------------------------------------------------
+
+    def alloc_keyframe(self) -> int:
+        free = np.nonzero(~self.kf_valid)[0]
+        if len(free) == 0:
+            raise RuntimeError("keyframe capacity exhausted")
+        return int(free[0])
+
+    def alloc_landmarks(self, count: int) -> np.ndarray:
+        free = np.nonzero(~self.lm_valid)[0]
+        if len(free) < count:
+            raise RuntimeError("landmark capacity exhausted")
+        return free[:count]
+
+    # ------------------------------------------------------------------
+    # Insertion / removal
+    # ------------------------------------------------------------------
+
+    def add_keyframe(
+        self,
+        R: np.ndarray,
+        t: np.ndarray,
+        xy: np.ndarray,
+        level: np.ndarray,
+        angle: np.ndarray,
+        desc_packed: np.ndarray,
+        feat_valid: np.ndarray,
+        lm_idx: np.ndarray,
+        timestamp: float,
+        frame_id: int,
+        ur: np.ndarray | None = None,
+        depth: np.ndarray | None = None,
+    ) -> int:
+        k = self.alloc_keyframe()
+        self.kf_valid[k] = True
+        self.kf_R[k] = R
+        self.kf_t[k] = t
+        self.kf_timestamp[k] = timestamp
+        self.kf_frame_id[k] = frame_id
+        self.kf_xy[k] = xy
+        self.kf_level[k] = level
+        self.kf_angle[k] = angle
+        self.kf_desc[k] = desc_packed
+        self.kf_feat_valid[k] = feat_valid
+        self.kf_lm_idx[k] = np.where(feat_valid, lm_idx, -1)
+        self.kf_ur[k] = -1.0 if ur is None else ur
+        self.kf_depth[k] = -1.0 if depth is None else depth
+        # Update incidence + landmark observation counts.
+        seen = self.kf_lm_idx[k]
+        seen = seen[seen >= 0]
+        self.obs[k, :] = False
+        self.obs[k, seen] = True
+        self.lm_obs_count[seen] += 1
+        return k
+
+    def remove_keyframe(self, k: int):
+        """KeyFrame::SetBadFlag equivalent (no spanning tree needed: poses
+        are absolute, trajectory export keeps its own per-frame record)."""
+        seen = self.kf_lm_idx[k]
+        seen = seen[seen >= 0]
+        self.lm_obs_count[seen] -= 1
+        self.kf_valid[k] = False
+        self.kf_feat_valid[k] = False
+        self.kf_lm_idx[k] = -1
+        self.obs[k, :] = False
+
+    def add_landmarks(
+        self,
+        pos: np.ndarray,  # (M,3)
+        desc_packed: np.ndarray,  # (M,8)
+        desc_i8: np.ndarray,  # (M,256)
+        first_kf: int,
+        level: np.ndarray,  # (M,)
+        normal: np.ndarray,  # (M,3)
+        min_dist: np.ndarray,
+        max_dist: np.ndarray,
+    ) -> np.ndarray:
+        ids = self.alloc_landmarks(len(pos))
+        self.lm_valid[ids] = True
+        self.lm_pos[ids] = pos
+        self.lm_desc[ids] = desc_packed
+        self.lm_desc_i8[ids] = desc_i8
+        self.lm_normal[ids] = normal
+        self.lm_min_dist[ids] = min_dist
+        self.lm_max_dist[ids] = max_dist
+        self.lm_level[ids] = level
+        self.lm_first_kf[ids] = first_kf
+        self.lm_obs_count[ids] = 0
+        self.lm_visible[ids] = 1
+        self.lm_found[ids] = 1
+        return ids
+
+    def remove_landmarks(self, ids: np.ndarray):
+        """MapPoint::SetBadFlag: detach from all observing keyframes."""
+        ids = np.asarray(ids, np.int64)
+        if len(ids) == 0:
+            return
+        self.lm_valid[ids] = False
+        # Detach observations.
+        ks = np.nonzero(self.obs[:, ids].any(axis=1))[0]
+        for k in ks:
+            mask = np.isin(self.kf_lm_idx[k], ids)
+            self.kf_lm_idx[k][mask] = -1
+        self.obs[:, ids] = False
+        self.lm_obs_count[ids] = 0
+
+    def add_observation(self, k: int, feat_idx: np.ndarray, lm_ids: np.ndarray):
+        """Bind features of KF k to landmarks (MapPoint::AddObservation +
+        KeyFrame::AddMapPoint)."""
+        feat_idx = np.asarray(feat_idx)
+        lm_ids = np.asarray(lm_ids)
+        # Drop bindings where the feature already has a landmark.
+        fresh = self.kf_lm_idx[k, feat_idx] < 0
+        feat_idx, lm_ids = feat_idx[fresh], lm_ids[fresh]
+        self.kf_lm_idx[k, feat_idx] = lm_ids
+        newly = ~self.obs[k, lm_ids]
+        self.obs[k, lm_ids] = True
+        self.lm_obs_count[lm_ids[newly]] += 1
+
+    # ------------------------------------------------------------------
+    # Queries
+    # ------------------------------------------------------------------
+
+    def covisibility_weights(self, k: int) -> np.ndarray:
+        """(K,) number of landmarks shared with keyframe k
+        (KeyFrame::UpdateConnections weight computation)."""
+        w = self.obs.astype(np.int32) @ self.obs[k].astype(np.int32)
+        w[k] = 0
+        w[~self.kf_valid] = 0
+        return w
+
+    def covisible_keyframes(self, k: int, min_weight: int = 15, top: int | None = None):
+        w = self.covisibility_weights(k)
+        ids = np.nonzero(w >= min_weight)[0]
+        ids = ids[np.argsort(-w[ids])]
+        if top is not None:
+            ids = ids[:top]
+        return ids, w[ids]
+
+    def local_map_landmarks(self, kf_ids: np.ndarray) -> np.ndarray:
+        """Union of landmark ids observed by the given keyframes."""
+        if len(kf_ids) == 0:
+            return np.zeros(0, np.int64)
+        mask = self.obs[kf_ids].any(axis=0) & self.lm_valid
+        return np.nonzero(mask)[0]
+
+    def n_keyframes(self) -> int:
+        return int(self.kf_valid.sum())
+
+    def n_landmarks(self) -> int:
+        return int(self.lm_valid.sum())
+
+    def update_landmark_stats(self, ids: np.ndarray):
+        """Recompute representative descriptor, normal and scale band for
+        the given landmarks (MapPoint::ComputeDistinctiveDescriptors +
+        UpdateNormalAndDepth). Host-side: candidate sets are tiny."""
+        for lm in np.asarray(ids):
+            ks = np.nonzero(self.obs[:, lm])[0]
+            if len(ks) == 0:
+                continue
+            # Gather observing descriptors + viewing geometry.
+            descs, dirs, levels = [], [], []
+            for k in ks:
+                f = np.nonzero(self.kf_lm_idx[k] == lm)[0]
+                if len(f) == 0:
+                    continue
+                f = f[0]
+                descs.append(self.kf_desc[k, f])
+                Rwc = self.kf_R[k].T
+                cam_center = -Rwc @ self.kf_t[k]
+                d = self.lm_pos[lm] - cam_center
+                dirs.append(d / max(np.linalg.norm(d), 1e-9))
+                levels.append(self.kf_level[k, f])
+            if not descs:
+                continue
+            D = np.array(descs)  # (n,8) uint32
+            # Min-median-Hamming representative descriptor.
+            x = D[:, None, :] ^ D[None, :, :]
+            dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+            med = np.median(dist, axis=1)
+            best = int(np.argmin(med))
+            self.lm_desc[lm] = D[best]
+            self.lm_desc_i8[lm] = np.unpackbits(
+                D[best].view(np.uint8), bitorder="little"
+            ).astype(np.int8)
+            self.lm_normal[lm] = np.mean(dirs, axis=0)
+            n = np.linalg.norm(self.lm_normal[lm])
+            if n > 1e-9:
+                self.lm_normal[lm] /= n
+            # Scale band from the reference observation (last one).
+            k_ref = ks[-1]
+            f = np.nonzero(self.kf_lm_idx[k_ref] == lm)[0]
+            if len(f):
+                lvl = int(self.kf_level[k_ref, f[0]])
+                Rwc = self.kf_R[k_ref].T
+                cam_center = -Rwc @ self.kf_t[k_ref]
+                dist_ref = np.linalg.norm(self.lm_pos[lm] - cam_center)
+                self.lm_max_dist[lm] = dist_ref * SCALE_FACTOR**lvl * 1.2
+                self.lm_min_dist[lm] = (
+                    dist_ref * SCALE_FACTOR ** (lvl - N_LEVELS + 1) / 1.2
+                )
+                self.lm_level[lm] = lvl

@@ -168,6 +168,25 @@ def search_by_projection(
     )
 
 
+def epipolar_penalty(
+    F12: jax.Array,
+    xy1: jax.Array,
+    xy2: jax.Array,
+    sigma2_2: jax.Array,
+    chi2_th: float = 3.84,
+) -> jax.Array:
+    """(N,M) penalty: +INF where x2 is farther than chi2_th * sigma from
+    the epipolar line of x1 (ORBmatcher::SearchForTriangulation's
+    CheckDistEpipolarLine, src/ORBmatcher.cc:916-1148)."""
+    x1h = jnp.concatenate([xy1, jnp.ones_like(xy1[..., :1])], axis=-1)  # (N,3)
+    lines = x1h @ F12.T  # (N,3) lines in image 2 (a,b,c)
+    a, b, c = lines[:, 0:1], lines[:, 1:2], lines[:, 2:3]
+    d = a * xy2[None, :, 0] + b * xy2[None, :, 1] + c  # (N,M)
+    dsq = d * d / jnp.maximum(a * a + b * b, 1e-12)
+    ok = dsq < chi2_th * sigma2_2[None, :]
+    return jnp.where(ok, 0.0, INF)
+
+
 hamming_matrix = jax.jit(hamming_matrix)
 popcount_hamming = jax.jit(popcount_hamming)
 match_nn = jax.jit(

@@ -1,0 +1,893 @@
+"""Monocular tracking + local mapping pipeline.
+
+Host-orchestrated re-design of the reference runtime threads
+(src/Tracking.cc state machine + src/LocalMapping.cc), with every heavy
+stage a fixed-shape jitted device program:
+
+frame -> extract_orb -> [init | motion-model projection match ->
+pose_optimization -> track-local-map match -> pose_optimization]
+-> keyframe policy -> (insert KF -> triangulate new landmarks ->
+cull -> local BA)
+
+Differences from the reference, by design (SURVEY.md §7):
+- Single host thread; mapping runs synchronously after KF insertion.
+  JAX async dispatch overlaps device work; the thread pipeline returns
+  in a later milestone as asynchronously dispatched device programs.
+- The quadtree/grid candidate loops of ORBmatcher become dense masked
+  matrices (ops/matching.py).
+- Trajectory bookkeeping stores (ref_kf, T_frame<-refkf) exactly like
+  Tracking::mlRelativeFramePoses (src/Tracking.cc:2211-2226), so
+  later BA corrections propagate to the exported trajectory.
+
+State machine states follow include/Tracking.h:133-141.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.map_state import LEVEL_SIGMA2, MapConfig, MapState, N_LEVELS, SCALE_FACTOR
+from ..ops import matching, orb, ransac
+from ..ops.camera import Camera, undistort_points
+from ..ops import geometry
+from ..optim import pose_opt
+from ..utils import lie
+
+log = logging.getLogger("orbslam3_tpu.tracker")
+
+
+class TrackState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    RECENTLY_LOST = 3
+    LOST = 4
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    camera: Camera = None
+    width: int = 752
+    height: int = 480
+    orb: orb.OrbParams = dataclasses.field(default_factory=orb.OrbParams)
+    # Matching / tracking thresholds (reference values).
+    init_min_matches: int = 100  # MonocularInitialization (src/Tracking.cc:2341)
+    min_track_matches: int = 20
+    min_track_inliers: int = 10
+    min_localmap_inliers: int = 30
+    kf_max_interval: int = 30  # frames (reference mMaxFrames = fps)
+    kf_ref_ratio: float = 0.9  # NeedNewKeyFrame thRefRatio mono (:3040)
+    local_window_kfs: int = 10
+    # Static capacities for jitted programs.
+    local_lm_cap: int = 4096
+    ba_kf_cap: int = 16
+    ba_fixed_cap: int = 8
+    ba_lm_cap: int = 4096
+    ba_obs_cap: int = 24576
+    map_cfg: MapConfig = dataclasses.field(default_factory=MapConfig)
+
+
+# ----------------------------------------------------------------------------
+# Jitted helpers
+# ----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_levels",))
+def project_landmarks(
+    R, t, pos, normal, min_dist, max_dist, lm_valid,
+    fx, fy, cx, cy, width, height, n_levels: int = N_LEVELS,
+):
+    """Frustum + scale-band + viewing-angle gate and predicted search
+    level for map landmarks (Frame::isInFrustum src/Frame.cc:644-742 and
+    MapPoint::PredictScale src/MapPoint.cc:557)."""
+    pc = lie.se3_apply(R, t, pos)
+    z = pc[:, 2]
+    z_safe = jnp.where(z < 1e-6, 1e-6, z)
+    u = fx * pc[:, 0] / z_safe + cx
+    v = fy * pc[:, 1] / z_safe + cy
+    cam_center = -jnp.einsum("ji,j->i", R, t)
+    d = pos - cam_center
+    dist = jnp.linalg.norm(d, axis=-1)
+    cos_view = jnp.sum(d * normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    ok = (
+        lm_valid
+        & (z > 0.05)
+        & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        & (dist >= min_dist * 0.8) & (dist <= max_dist * 1.2)
+        & (cos_view > 0.5)
+    )
+    ratio = jnp.maximum(max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
+    level = jnp.ceil(jnp.log(ratio) / jnp.log(SCALE_FACTOR)).astype(jnp.int32)
+    level = jnp.clip(level, 0, n_levels - 1)
+    return jnp.stack([u, v], -1), level, dist, ok
+
+
+@jax.jit
+def match_initialization(desc1_i8, xy1, valid1, angle1, desc2_i8, xy2, valid2, angle2):
+    """2-view init matching: windowed (100 px) ratio 0.9 + rotation check
+    (ORBmatcher::SearchForInitialization src/ORBmatcher.cc:666)."""
+    dist = matching.hamming_matrix(desc1_i8, desc2_i8)
+    pen = matching.window_penalty(xy1, xy2, jnp.full(xy1.shape[0], 100.0))
+    idx, ok = matching.match_nn(
+        dist, valid1, valid2, max_dist=50, ratio=0.9, cross_check=True,
+        extra_penalty=pen,
+    )
+    ok = matching.rotation_consistency(angle1, angle2, idx, ok)
+    return idx, ok
+
+
+@jax.jit
+def match_by_projection_leveled(
+    lm_bits, lm_valid, uv_pred, pred_level, radius_base,
+    f_bits, f_xy, f_level, f_valid,
+):
+    """Projection search with per-landmark radius scaled by predicted
+    level (SearchByProjection map->frame, src/ORBmatcher.cc:38)."""
+    sigma = SCALE_FACTOR ** pred_level.astype(jnp.float32)
+    radius = radius_base * sigma
+    return matching.search_by_projection(
+        lm_bits, lm_valid, uv_pred, pred_level,
+        f_bits, f_xy, f_level, f_valid, radius,
+        max_dist=matching.TH_HIGH, ratio=0.9, level_band=1,
+    )
+
+
+@jax.jit
+def match_bow_like(desc1_i8, valid1, angle1, desc2_i8, valid2, angle2):
+    """Unwindowed ratio-0.7 matching with rotation check — stands in for
+    SearchByBoW (src/ORBmatcher.cc:237); the BoW feature-vector node
+    alignment is only an acceleration, the dense MXU matrix needs none."""
+    dist = matching.hamming_matrix(desc1_i8, desc2_i8)
+    idx, ok = matching.match_nn(
+        dist, valid1, valid2, max_dist=matching.TH_LOW, ratio=0.7, cross_check=True
+    )
+    ok = matching.rotation_consistency(angle1, angle2, idx, ok)
+    return idx, ok
+
+
+@jax.jit
+def match_triangulation(
+    desc1_i8, xy1, free1, angle1, desc2_i8, xy2, free2, angle2, sigma2_2, F12
+):
+    """Epipolar-constrained matching of unbound features for new-landmark
+    triangulation (ORBmatcher::SearchForTriangulation)."""
+    dist = matching.hamming_matrix(desc1_i8, desc2_i8)
+    pen = matching.epipolar_penalty(F12, xy1, xy2, sigma2_2)
+    idx, ok = matching.match_nn(
+        dist, free1, free2, max_dist=matching.TH_LOW, ratio=0.8,
+        cross_check=True, extra_penalty=pen,
+    )
+    ok = matching.rotation_consistency(angle1, angle2, idx, ok)
+    return idx, ok
+
+
+@jax.jit
+def triangulate_and_check(R1, t1, R2, t2, K, uv1, uv2, sigma2_1, sigma2_2, valid):
+    """Batched two-view triangulation with the reference's acceptance
+    gates (LocalMapping::CreateNewMapPoints src/LocalMapping.cc:417-742):
+    positive depth in both views, reprojection chi2 < 5.991 sigma2,
+    parallax > ~1 degree."""
+    P1 = geometry.projection_matrix(K, R1, t1)
+    P2 = geometry.projection_matrix(K, R2, t2)
+    n = uv1.shape[0]
+    X = geometry.triangulate_dlt(
+        jnp.broadcast_to(P1, (n, 3, 4)), jnp.broadcast_to(P2, (n, 3, 4)), uv1, uv2
+    )
+    pc1 = lie.se3_apply(R1, t1, X)
+    pc2 = lie.se3_apply(R2, t2, X)
+    z1, z2 = pc1[:, 2], pc2[:, 2]
+
+    def reproj_err(pc, uv):
+        zs = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+        p = (K @ (pc / zs[:, None]).T).T
+        return jnp.sum((p[:, :2] - uv) ** 2, axis=-1)
+
+    e1 = reproj_err(pc1, uv1)
+    e2 = reproj_err(pc2, uv2)
+    c1 = -jnp.einsum("ji,j->i", R1, t1)
+    c2 = -jnp.einsum("ji,j->i", R2, t2)
+    r1 = X - c1
+    r2 = X - c2
+    cosp = jnp.sum(r1 * r2, -1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-12
+    )
+    good = (
+        valid
+        & jnp.all(jnp.isfinite(X), axis=-1)
+        & (z1 > 0.01) & (z2 > 0.01)
+        & (e1 < 5.991 * sigma2_1) & (e2 < 5.991 * sigma2_2)
+        & (cosp < 0.9998)
+    )
+    return X, good
+
+
+# ----------------------------------------------------------------------------
+# Frame record (host)
+# ----------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class FrameData:
+    frame_id: int
+    timestamp: float
+    xy: np.ndarray  # (N,2) undistorted pixels
+    level: np.ndarray
+    angle: np.ndarray
+    desc: np.ndarray  # (N,8) packed
+    desc_i8: np.ndarray  # (N,256)
+    valid: np.ndarray
+    R: np.ndarray | None = None  # Tcw
+    t: np.ndarray | None = None
+    lm_idx: np.ndarray | None = None  # (N,) bound landmark ids (-1 none)
+
+
+class MonoTracker:
+    """Monocular SLAM front-end + local mapping (System::TrackMonocular
+    path, src/System.cc:454 + src/Tracking.cc:1773 Track())."""
+
+    def __init__(self, cfg: TrackerConfig):
+        assert cfg.camera is not None
+        self.cfg = cfg
+        self.cam = cfg.camera
+        self.K = np.asarray(self.cam.K)
+        self.fx = float(self.K[0, 0])
+        self.fy = float(self.K[1, 1])
+        self.cx = float(self.K[0, 2])
+        self.cy = float(self.K[1, 2])
+        # Feature capacity follows the extractor budget.
+        cfg.map_cfg.n_features = cfg.orb.n_features
+        self.map = MapState(cfg.map_cfg)
+        self.state = TrackState.NO_IMAGES_YET
+        self.last: FrameData | None = None
+        self.init_ref: FrameData | None = None
+        self.velocity: tuple[np.ndarray, np.ndarray] | None = None  # Tcl
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = -1
+        self.frame_id: int = 0
+        self.rng_key = jax.random.PRNGKey(0)
+        # Trajectory bookkeeping: (frame_id, timestamp, ref_kf, R_cr, t_cr, lost)
+        self.trajectory: list[tuple] = []
+        self.n_kf_inserted = 0
+
+    # ------------------------------------------------------------------
+
+    def _next_key(self):
+        self.rng_key, k = jax.random.split(self.rng_key)
+        return k
+
+    def _extract(self, img: np.ndarray, timestamp: float) -> FrameData:
+        feats = orb.extract_orb_jit(jnp.asarray(img, jnp.float32), self.cfg.orb)
+        xy_ud = undistort_points(self.cam, feats.xy)
+        fd = FrameData(
+            frame_id=self.frame_id,
+            timestamp=timestamp,
+            xy=np.asarray(xy_ud),
+            level=np.asarray(feats.level),
+            angle=np.asarray(feats.angle),
+            desc=np.asarray(feats.desc),
+            desc_i8=np.asarray(feats.desc_i8),
+            valid=np.asarray(feats.valid),
+            lm_idx=np.full(self.cfg.orb.n_features, -1, np.int32),
+        )
+        return fd
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+
+    def track(self, img: np.ndarray, timestamp: float) -> np.ndarray | None:
+        """Process one frame; returns 4x4 Tcw or None while initializing/lost."""
+        frame = self._extract(img, timestamp)
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            self._initialize(frame)
+        elif self.state in (TrackState.LOST, TrackState.RECENTLY_LOST):
+            self._relocalize(frame)
+        else:
+            self._track_frame(frame)
+        self.frame_id += 1
+        if frame.R is not None:
+            self._record_trajectory(frame)
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = frame.R
+            T[:3, 3] = frame.t
+            return T
+        return None
+
+    # ------------------------------------------------------------------
+    # Initialization (MonocularInitialization, src/Tracking.cc:2341-2412)
+    # ------------------------------------------------------------------
+
+    def _initialize(self, frame: FrameData):
+        n_feat = int(frame.valid.sum())
+        if self.init_ref is None or n_feat < self.cfg.init_min_matches:
+            if n_feat >= self.cfg.init_min_matches:
+                self.init_ref = frame
+                self.state = TrackState.NOT_INITIALIZED
+            self.last = frame
+            return
+        ref = self.init_ref
+        idx, ok = match_initialization(
+            jnp.asarray(ref.desc_i8), jnp.asarray(ref.xy), jnp.asarray(ref.valid),
+            jnp.asarray(ref.angle),
+            jnp.asarray(frame.desc_i8), jnp.asarray(frame.xy), jnp.asarray(frame.valid),
+            jnp.asarray(frame.angle),
+        )
+        n_matches = int(np.asarray(ok).sum())
+        if n_matches < self.cfg.init_min_matches:
+            # Too few: re-seed the initializer with the new frame.
+            self.init_ref = frame
+            self.last = frame
+            return
+        res = ransac.reconstruct_two_views(
+            jnp.asarray(ref.xy), jnp.asarray(frame.xy)[np.asarray(idx)],
+            jnp.asarray(ok), jnp.asarray(self.K), self._next_key(),
+        )
+        if not bool(res.success):
+            self.last = frame
+            return
+        self._create_initial_map(ref, frame, np.asarray(idx), res)
+        self.last = frame
+
+    def _feat_sigma2(self, level: np.ndarray) -> np.ndarray:
+        return LEVEL_SIGMA2[np.clip(level, 0, N_LEVELS - 1)]
+
+    def _create_initial_map(self, ref: FrameData, frame: FrameData, idx, res):
+        good = np.asarray(res.good)
+        pts = np.asarray(res.points)
+        R2 = np.asarray(res.R)
+        t2 = np.asarray(res.t)
+        # Median-depth normalization (CreateInitialMapMonocular :2466-2493).
+        med_depth = float(np.median(pts[good][:, 2]))
+        if med_depth <= 0:
+            return
+        scale = 1.0 / med_depth
+        pts = pts * scale
+        t2 = t2 * scale
+
+        # Keyframe 1 at identity, keyframe 2 at (R2, t2).
+        ref.R, ref.t = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        frame.R, frame.t = R2.astype(np.float32), t2.astype(np.float32)
+
+        gi = np.nonzero(good)[0]  # indices into ref features
+        fi = idx[gi]  # matched feature in current frame
+        m = self.map
+        lm_ids = m.add_landmarks(
+            pos=pts[gi],
+            desc_packed=frame.desc[fi],
+            desc_i8=frame.desc_i8[fi],
+            first_kf=0,
+            level=frame.level[fi],
+            normal=np.zeros((len(gi), 3), np.float32),
+            min_dist=np.full(len(gi), 0.1, np.float32),
+            max_dist=np.full(len(gi), 100.0, np.float32),
+        )
+        ref_lm = np.full(len(ref.valid), -1, np.int32)
+        ref_lm[gi] = lm_ids
+        cur_lm = np.full(len(frame.valid), -1, np.int32)
+        cur_lm[fi] = lm_ids
+        k1 = m.add_keyframe(
+            ref.R, ref.t, ref.xy, ref.level, ref.angle, ref.desc, ref.valid,
+            ref_lm, ref.timestamp, ref.frame_id,
+        )
+        k2 = m.add_keyframe(
+            frame.R, frame.t, frame.xy, frame.level, frame.angle, frame.desc,
+            frame.valid, cur_lm, frame.timestamp, frame.frame_id,
+        )
+        m.update_landmark_stats(lm_ids)
+        frame.lm_idx = cur_lm
+        # Initial BA over both KFs (GlobalBundleAdjustemnt(20) at init).
+        self._local_ba([k1, k2], fix=[k1])
+        # Re-normalize scale after BA (BA may drift the free gauge).
+        self.ref_kf = k2
+        self.last_kf_frame_id = frame.frame_id
+        self.velocity = None
+        self.state = TrackState.OK
+        self.n_kf_inserted = 2
+        log.info(
+            "map initialized: %d landmarks from %d matches", len(gi), len(idx)
+        )
+
+    # ------------------------------------------------------------------
+    # Frame tracking
+    # ------------------------------------------------------------------
+
+    def _predict_pose(self, frame: FrameData):
+        if self.velocity is not None and self.last.R is not None:
+            Rv, tv = self.velocity
+            frame.R = (Rv @ self.last.R).astype(np.float32)
+            frame.t = (Rv @ self.last.t + tv).astype(np.float32)
+        else:
+            frame.R = self.last.R.copy()
+            frame.t = self.last.t.copy()
+
+    def _match_landmarks_into_frame(
+        self, frame: FrameData, lm_ids: np.ndarray, radius_base: float,
+        exclude_bound: bool = True,
+    ):
+        """Project the given landmarks into the frame and match. Returns
+        (lm_ids_matched, feat_idx_matched)."""
+        cap = self.cfg.local_lm_cap
+        lm_ids = lm_ids[: cap]
+        n = len(lm_ids)
+        if n == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        pad = cap - n
+        m = self.map
+
+        def padf(x, fill=0):
+            return np.concatenate([x, np.full((pad, *x.shape[1:]), fill, x.dtype)])
+
+        pos = padf(m.lm_pos[lm_ids])
+        normal = padf(m.lm_normal[lm_ids])
+        mind = padf(m.lm_min_dist[lm_ids])
+        maxd = padf(m.lm_max_dist[lm_ids])
+        lmv = padf(m.lm_valid[lm_ids], False)
+        bits = padf(m.lm_desc_i8[lm_ids])
+
+        uv, level, dist, ok = project_landmarks(
+            jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(pos),
+            jnp.asarray(normal), jnp.asarray(mind), jnp.asarray(maxd),
+            jnp.asarray(lmv),
+            self.fx, self.fy, self.cx, self.cy,
+            float(self.cfg.width), float(self.cfg.height),
+        )
+        m.lm_visible[lm_ids[np.asarray(ok)[:n]]] += 1
+        f_valid = frame.valid & ((frame.lm_idx < 0) if exclude_bound else True)
+        idx, mok = match_by_projection_leveled(
+            jnp.asarray(bits), ok, uv, level, radius_base,
+            jnp.asarray(frame.desc_i8), jnp.asarray(frame.xy),
+            jnp.asarray(frame.level), jnp.asarray(f_valid),
+        )
+        mok = np.asarray(mok)[:n]
+        idx = np.asarray(idx)[:n]
+        sel = np.nonzero(mok)[0]
+        # Deduplicate features matched by multiple landmarks (keep first).
+        feat = idx[sel]
+        _, first = np.unique(feat, return_index=True)
+        sel = sel[first]
+        return lm_ids[sel], idx[sel]
+
+    def _pose_optimize(self, frame: FrameData) -> int:
+        bound = np.nonzero(frame.lm_idx >= 0)[0]
+        n = len(bound)
+        if n < 3:
+            return 0
+        cap = self.cfg.local_lm_cap
+        bound = bound[:cap]
+        pad = cap - len(bound)
+
+        Xw = np.concatenate(
+            [self.map.lm_pos[frame.lm_idx[bound]], np.zeros((pad, 3), np.float32)]
+        )
+        uv_c = np.concatenate(
+            [frame.xy[bound] - [self.cx, self.cy], np.zeros((pad, 2), np.float32)]
+        ).astype(np.float32)
+        sig2 = np.concatenate(
+            [self._feat_sigma2(frame.level[bound]), np.ones(pad, np.float32)]
+        )
+        valid = np.concatenate([np.ones(len(bound), bool), np.zeros(pad, bool)])
+        res = pose_opt.pose_optimization(
+            jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(Xw),
+            jnp.asarray(uv_c), jnp.asarray(sig2), jnp.asarray(valid),
+            self.fx, self.fy,
+        )
+        frame.R = np.asarray(res.R)
+        frame.t = np.asarray(res.t)
+        inl = np.asarray(res.inliers)[: len(bound)]
+        # Unbind outliers (reference clears mvpMapPoints for outliers).
+        out_feats = bound[~inl]
+        frame.lm_idx[out_feats] = -1
+        n_in = int(inl.sum())
+        self.map.lm_found[frame.lm_idx[bound[inl]]] += 1
+        return n_in
+
+    def _track_frame(self, frame: FrameData):
+        self._predict_pose(frame)
+        m = self.map
+
+        # 1) Motion-model tracking vs last frame's landmarks.
+        last_lms = np.unique(self.last.lm_idx[self.last.lm_idx >= 0])
+        last_lms = last_lms[m.lm_valid[last_lms]]
+        lm_hit, feat_hit = self._match_landmarks_into_frame(frame, last_lms, 15.0)
+        if len(lm_hit) < self.cfg.min_track_matches:
+            lm_hit2, feat_hit2 = self._match_landmarks_into_frame(
+                frame, last_lms, 30.0
+            )
+            if len(lm_hit2) > len(lm_hit):
+                lm_hit, feat_hit = lm_hit2, feat_hit2
+        frame.lm_idx[feat_hit] = lm_hit
+        n_in = self._pose_optimize(frame)
+
+        if n_in < self.cfg.min_track_inliers:
+            # Fallback: reference-KF matching (TrackReferenceKeyFrame).
+            frame.lm_idx[:] = -1
+            frame.R = self.last.R.copy()
+            frame.t = self.last.t.copy()
+            idx, ok = match_bow_like(
+                jnp.asarray(self._kf_bits(self.ref_kf)),
+                jnp.asarray(m.kf_feat_valid[self.ref_kf]),
+                jnp.asarray(m.kf_angle[self.ref_kf]),
+                jnp.asarray(frame.desc_i8), jnp.asarray(frame.valid),
+                jnp.asarray(frame.angle),
+            )
+            ok_np = np.asarray(ok)
+            idx_np = np.asarray(idx)
+            ref_lm = m.kf_lm_idx[self.ref_kf]
+            sel = np.nonzero(ok_np & (ref_lm >= 0))[0]
+            frame.lm_idx[idx_np[sel]] = ref_lm[sel]
+            n_in = self._pose_optimize(frame)
+            if n_in < self.cfg.min_track_inliers:
+                self._set_lost(frame)
+                return
+
+        # 2) Track local map.
+        local_kfs = self._local_keyframes(frame)
+        local_lms = m.local_map_landmarks(local_kfs)
+        lm_hit, feat_hit = self._match_landmarks_into_frame(frame, local_lms, 6.0)
+        frame.lm_idx[feat_hit] = lm_hit
+        n_in = self._pose_optimize(frame)
+
+        if n_in < self.cfg.min_localmap_inliers:
+            self._set_lost(frame)
+            return
+
+        self.state = TrackState.OK
+        # Motion model: velocity = Tcw_cur * Twc_last.
+        Rl_inv, tl_inv = np.asarray(self.last.R).T, -np.asarray(self.last.R).T @ self.last.t
+        self.velocity = (
+            (frame.R @ Rl_inv).astype(np.float32),
+            (frame.R @ tl_inv + frame.t).astype(np.float32),
+        )
+
+        # 3) Keyframe policy (NeedNewKeyFrame, simplified thresholds).
+        ref_tracked = int((m.kf_lm_idx[self.ref_kf] >= 0).sum())
+        frames_since_kf = frame.frame_id - self.last_kf_frame_id
+        need = (
+            frames_since_kf >= self.cfg.kf_max_interval
+            or (n_in < self.cfg.kf_ref_ratio * ref_tracked and frames_since_kf >= 3)
+        ) and n_in > 15
+        if need:
+            self._insert_keyframe(frame)
+        self.last = frame
+
+    def _kf_bits(self, k: int) -> np.ndarray:
+        """Unpack a keyframe's stored packed descriptors to int8 bits."""
+        return np.unpackbits(
+            self.map.kf_desc[k].view(np.uint8), axis=-1, bitorder="little"
+        ).astype(np.int8)
+
+    def _relocalize(self, frame: FrameData) -> bool:
+        """Relocalization against recent keyframes: descriptor matching to
+        bound features -> RANSAC PnP -> pose optimization (reference
+        Tracking::Relocalization src/Tracking.cc:3452, with recency
+        standing in for the keyframe-database candidates until place
+        recognition lands)."""
+        m = self.map
+        cand = np.nonzero(m.kf_valid)[0]
+        if len(cand) == 0:
+            self.last = frame
+            return False
+        # Most recent keyframes first.
+        cand = cand[np.argsort(-m.kf_frame_id[cand])][:5]
+        for k in cand:
+            ref_lm = m.kf_lm_idx[k]
+            idx, ok = match_bow_like(
+                jnp.asarray(self._kf_bits(k)),
+                jnp.asarray(m.kf_feat_valid[k] & (ref_lm >= 0)),
+                jnp.asarray(m.kf_angle[k]),
+                jnp.asarray(frame.desc_i8), jnp.asarray(frame.valid),
+                jnp.asarray(frame.angle),
+            )
+            ok_np = np.asarray(ok)
+            idx_np = np.asarray(idx)
+            sel = np.nonzero(ok_np & (ref_lm >= 0) & m.lm_valid[np.maximum(ref_lm, 0)])[0]
+            if len(sel) < 15:
+                continue
+            cap = self.cfg.local_lm_cap
+            n = min(len(sel), cap)
+            sel = sel[:n]
+            pad = cap - n
+            Xw = np.concatenate([m.lm_pos[ref_lm[sel]], np.zeros((pad, 3), np.float32)])
+            uv = np.concatenate([frame.xy[idx_np[sel]], np.zeros((pad, 2), np.float32)])
+            valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+            R, t, inl, n_inl, ok_pnp = ransac.pnp_ransac(
+                jnp.asarray(Xw), jnp.asarray(uv.astype(np.float32)),
+                jnp.asarray(valid), jnp.asarray(self.K), self._next_key(),
+            )
+            if not bool(ok_pnp):
+                continue
+            frame.R = np.asarray(R)
+            frame.t = np.asarray(t)
+            inl_np = np.asarray(inl)[:n]
+            frame.lm_idx[:] = -1
+            frame.lm_idx[idx_np[sel[inl_np]]] = ref_lm[sel[inl_np]]
+            n_in = self._pose_optimize(frame)
+            if n_in >= 20:
+                log.info("relocalized at frame %d against KF %d (%d inliers)",
+                         frame.frame_id, k, n_in)
+                self.state = TrackState.OK
+                self.velocity = None
+                self.ref_kf = int(k)
+                self.last = frame
+                return True
+        frame.R = None
+        frame.t = None
+        self.last = frame
+        return False
+
+    def _set_lost(self, frame: FrameData):
+        n_kf = self.map.n_keyframes()
+        log.warning("tracking lost at frame %d (%d KFs)", frame.frame_id, n_kf)
+        self.state = TrackState.LOST
+        frame.R = None
+        frame.t = None
+        frame.lm_idx[:] = -1
+        self.velocity = None
+        self.last = frame
+
+    def _local_keyframes(self, frame: FrameData) -> np.ndarray:
+        """K1 = KFs sharing landmarks with the frame, ranked by overlap;
+        the top sharer becomes the reference KF (UpdateLocalKeyFrames,
+        src/Tracking.cc:3305)."""
+        m = self.map
+        bound = frame.lm_idx[frame.lm_idx >= 0]
+        if len(bound) == 0:
+            return np.zeros(0, np.int64)
+        counts = m.obs[:, bound].sum(axis=1)
+        counts[~m.kf_valid] = 0
+        order = np.argsort(-counts)
+        k1 = order[: self.cfg.local_window_kfs]
+        k1 = k1[counts[k1] > 0]
+        if len(k1):
+            self.ref_kf = int(k1[0])
+        return k1
+
+    # ------------------------------------------------------------------
+    # Mapping (LocalMapping::Run main steps, synchronous)
+    # ------------------------------------------------------------------
+
+    def _insert_keyframe(self, frame: FrameData):
+        m = self.map
+        k = m.add_keyframe(
+            frame.R, frame.t, frame.xy, frame.level, frame.angle, frame.desc,
+            frame.valid, frame.lm_idx, frame.timestamp, frame.frame_id,
+        )
+        self.last_kf_frame_id = frame.frame_id
+        self.ref_kf = k
+        self.n_kf_inserted += 1
+
+        # Update stats of observed landmarks.
+        seen = frame.lm_idx[frame.lm_idx >= 0]
+        m.update_landmark_stats(np.unique(seen))
+
+        # New landmarks by epipolar triangulation vs covisible KFs.
+        neigh, _ = m.covisible_keyframes(k, min_weight=15, top=self.cfg.local_window_kfs)
+        new_ids = []
+        for k2 in neigh:
+            new_ids.extend(self._triangulate_new(k, int(k2)))
+        if new_ids:
+            m.update_landmark_stats(np.asarray(new_ids))
+
+        # Cull weak recent landmarks (MapPointCulling :382-416).
+        self._cull_landmarks()
+
+        # Local BA over the covisible window.
+        window = [k] + [int(x) for x in neigh[: self.cfg.ba_kf_cap - 1]]
+        self._local_ba(window)
+
+        log.info(
+            "KF %d inserted (frame %d): %d new lms, map: %d KFs / %d lms",
+            k, frame.frame_id, len(new_ids), m.n_keyframes(), m.n_landmarks(),
+        )
+
+    def _triangulate_new(self, k1: int, k2: int) -> list[int]:
+        """Triangulate new landmarks between two keyframes."""
+        m = self.map
+        # Baseline check vs scene depth (reference skips short baselines).
+        c1 = -m.kf_R[k1].T @ m.kf_t[k1]
+        c2 = -m.kf_R[k2].T @ m.kf_t[k2]
+        baseline = np.linalg.norm(c1 - c2)
+        seen2 = m.kf_lm_idx[k2]
+        depths = []
+        lm2 = seen2[seen2 >= 0]
+        if len(lm2):
+            pc = m.lm_pos[lm2] @ m.kf_R[k2].T + m.kf_t[k2]
+            depths = pc[:, 2]
+        med_depth = float(np.median(depths)) if len(depths) else 1.0
+        if baseline / max(med_depth, 1e-6) < 0.01:
+            return []
+
+        F12 = np.asarray(
+            geometry.fundamental_from_poses(
+                jnp.asarray(m.kf_R[k1]), jnp.asarray(m.kf_t[k1]),
+                jnp.asarray(m.kf_R[k2]), jnp.asarray(m.kf_t[k2]),
+                jnp.asarray(self.K), jnp.asarray(self.K),
+            )
+        )
+        free1 = m.kf_feat_valid[k1] & (m.kf_lm_idx[k1] < 0)
+        free2 = m.kf_feat_valid[k2] & (m.kf_lm_idx[k2] < 0)
+        sig2_2 = self._feat_sigma2(m.kf_level[k2])
+        idx, ok = match_triangulation(
+            jnp.asarray(self._kf_bits(k1)), jnp.asarray(m.kf_xy[k1]),
+            jnp.asarray(free1), jnp.asarray(m.kf_angle[k1]),
+            jnp.asarray(self._kf_bits(k2)), jnp.asarray(m.kf_xy[k2]),
+            jnp.asarray(free2), jnp.asarray(m.kf_angle[k2]),
+            jnp.asarray(sig2_2), jnp.asarray(F12.T),
+        )
+        ok_np = np.asarray(ok)
+        idx_np = np.asarray(idx)
+        if ok_np.sum() == 0:
+            return []
+        X, good = triangulate_and_check(
+            jnp.asarray(m.kf_R[k1]), jnp.asarray(m.kf_t[k1]),
+            jnp.asarray(m.kf_R[k2]), jnp.asarray(m.kf_t[k2]),
+            jnp.asarray(self.K),
+            jnp.asarray(m.kf_xy[k1]), jnp.asarray(m.kf_xy[k2][idx_np]),
+            jnp.asarray(self._feat_sigma2(m.kf_level[k1])),
+            jnp.asarray(self._feat_sigma2(m.kf_level[k2][idx_np])),
+            jnp.asarray(ok_np),
+        )
+        good = np.asarray(good)
+        X = np.asarray(X)
+        f1 = np.nonzero(good)[0]
+        if len(f1) == 0:
+            return []
+        f2 = idx_np[f1]
+        try:
+            ids = m.add_landmarks(
+                pos=X[f1],
+                desc_packed=m.kf_desc[k1, f1],
+                desc_i8=self._kf_bits(k1)[f1],
+                first_kf=k1,
+                level=m.kf_level[k1, f1],
+                normal=np.zeros((len(f1), 3), np.float32),
+                min_dist=np.full(len(f1), 0.1, np.float32),
+                max_dist=np.full(len(f1), 100.0, np.float32),
+            )
+        except RuntimeError:
+            return []
+        m.add_observation(k1, f1, ids)
+        m.add_observation(k2, f2, ids)
+        return [int(i) for i in ids]
+
+    def _cull_landmarks(self):
+        """Remove landmarks with poor found/visible ratio or too few
+        observations shortly after creation (LocalMapping::MapPointCulling)."""
+        m = self.map
+        ratio = m.lm_found / np.maximum(m.lm_visible, 1)
+        recent = m.lm_first_kf >= 0
+        weak = m.lm_valid & (
+            ((ratio < 0.25) & (m.lm_visible > 3))
+            | ((m.lm_obs_count < 2) & (m.lm_visible > 6) & recent)
+        )
+        ids = np.nonzero(weak)[0]
+        if len(ids):
+            m.remove_landmarks(ids)
+
+    def _local_ba(self, window: list[int], fix: list[int] | None = None):
+        """Assemble a fixed-capacity BAProblem from the window and run it."""
+        from ..optim.local_ba import BAProblem, local_ba
+
+        m = self.map
+        cfg = self.cfg
+        window = list(dict.fromkeys(window))[: cfg.ba_kf_cap]
+        # Landmarks seen by the window.
+        lms = m.local_map_landmarks(np.asarray(window, np.int64))[: cfg.ba_lm_cap]
+        if len(lms) < 8 or len(window) < 2:
+            return
+        # Fixed KFs: other KFs observing these landmarks (boundary).
+        other = m.obs[:, lms].any(axis=1) & m.kf_valid
+        other[window] = False
+        fixed_extra = np.nonzero(other)[0][: cfg.ba_fixed_cap]
+        kfs = np.asarray(window + [int(x) for x in fixed_extra], np.int64)
+        K_n = cfg.ba_kf_cap + cfg.ba_fixed_cap
+        pad_k = K_n - len(kfs)
+
+        kf_fixed = np.zeros(len(kfs), bool)
+        kf_fixed[len(window):] = True
+        if fix:
+            for f in fix:
+                w = np.nonzero(kfs == f)[0]
+                kf_fixed[w] = True
+        if not kf_fixed.any():
+            kf_fixed[0] = True
+
+        lm_lookup = np.full(m.cfg.max_landmarks, -1, np.int64)
+        lm_lookup[lms] = np.arange(len(lms))
+
+        # Gather observations.
+        o_kf, o_lm, o_uv, o_sig = [], [], [], []
+        for ki, k in enumerate(kfs):
+            li = lm_lookup[np.maximum(m.kf_lm_idx[k], 0)]
+            sel = (m.kf_lm_idx[k] >= 0) & (li >= 0)
+            f = np.nonzero(sel)[0]
+            o_kf.append(np.full(len(f), ki))
+            o_lm.append(li[f])
+            o_uv.append(m.kf_xy[k, f] - [self.cx, self.cy])
+            o_sig.append(self._feat_sigma2(m.kf_level[k, f]))
+        o_kf = np.concatenate(o_kf)
+        o_lm = np.concatenate(o_lm)
+        o_uv = np.concatenate(o_uv).astype(np.float32)
+        o_sig = np.concatenate(o_sig)
+        O_n = cfg.ba_obs_cap
+        if len(o_kf) > O_n:
+            keep = np.random.default_rng(0).permutation(len(o_kf))[:O_n]
+            o_kf, o_lm, o_uv, o_sig = o_kf[keep], o_lm[keep], o_uv[keep], o_sig[keep]
+        pad_o = O_n - len(o_kf)
+
+        L_n = cfg.ba_lm_cap
+        pad_l = L_n - len(lms)
+
+        def padk(x, fill=0):
+            return np.concatenate([x, np.full((pad_k, *x.shape[1:]), fill, x.dtype)])
+
+        prob = BAProblem(
+            R=jnp.asarray(padk(m.kf_R[kfs])),
+            t=jnp.asarray(padk(m.kf_t[kfs])),
+            kf_valid=jnp.asarray(np.concatenate([np.ones(len(kfs), bool), np.zeros(pad_k, bool)])),
+            kf_fixed=jnp.asarray(np.concatenate([kf_fixed, np.ones(pad_k, bool)])),
+            Xw=jnp.asarray(np.concatenate([m.lm_pos[lms], np.zeros((pad_l, 3), np.float32)])),
+            lm_valid=jnp.asarray(np.concatenate([np.ones(len(lms), bool), np.zeros(pad_l, bool)])),
+            obs_kf=jnp.asarray(np.concatenate([o_kf, np.zeros(pad_o)]).astype(np.int32)),
+            obs_lm=jnp.asarray(np.concatenate([o_lm, np.zeros(pad_o)]).astype(np.int32)),
+            obs_uvr=jnp.asarray(
+                np.concatenate(
+                    [np.concatenate([o_uv, np.zeros((len(o_uv), 1), np.float32)], 1),
+                     np.zeros((pad_o, 3), np.float32)]
+                )
+            ),
+            obs_sigma2=jnp.asarray(np.concatenate([o_sig, np.ones(pad_o, np.float32)])),
+            obs_stereo=jnp.zeros(O_n, bool),
+            obs_valid=jnp.asarray(np.concatenate([np.ones(len(o_kf), bool), np.zeros(pad_o, bool)])),
+            fx=jnp.float32(self.fx),
+            fy=jnp.float32(self.fy),
+            bf=jnp.float32(0.0),
+        )
+        from ..optim.local_ba import local_ba as run_ba
+
+        res = run_ba(prob, iters=10, gate_at=5)
+        R_new = np.asarray(res.R)[: len(kfs)]
+        t_new = np.asarray(res.t)[: len(kfs)]
+        X_new = np.asarray(res.Xw)[: len(lms)]
+        m.kf_R[kfs] = R_new
+        m.kf_t[kfs] = t_new
+        m.lm_pos[lms] = X_new
+
+    # ------------------------------------------------------------------
+    # Trajectory
+    # ------------------------------------------------------------------
+
+    def _record_trajectory(self, frame: FrameData):
+        """Store T_cam<-refKF so later KF-pose optimization propagates
+        into the exported trajectory (mlRelativeFramePoses)."""
+        k = self.ref_kf
+        Rr, tr = self.map.kf_R[k], self.map.kf_t[k]
+        # Tcr = Tcw * Trw^-1
+        R_cr = frame.R @ Rr.T
+        t_cr = frame.t - R_cr @ tr
+        self.trajectory.append(
+            (frame.frame_id, frame.timestamp, k, R_cr.copy(), t_cr.copy())
+        )
+
+    def export_trajectory(self):
+        """Return (timestamps, Twc 4x4 array) in world frame, TUM-style
+        camera-to-world (SaveTrajectoryTUM semantics, src/System.cc:628)."""
+        ts, poses = [], []
+        for fid, t, k, R_cr, t_cr in self.trajectory:
+            if not self.map.kf_valid[k]:
+                continue
+            R_cw = R_cr @ self.map.kf_R[k]
+            t_cw = R_cr @ self.map.kf_t[k] + t_cr
+            T = np.eye(4)
+            T[:3, :3] = R_cw.T
+            T[:3, 3] = -R_cw.T @ t_cw
+            ts.append(t)
+            poses.append(T)
+        return np.asarray(ts), np.asarray(poses)
