@@ -75,16 +75,21 @@ def _gaussian_kernel1d(ksize: int, sigma: float) -> jnp.ndarray:
 
 
 def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
-    """Separable Gaussian blur with BORDER_REFLECT_101 padding (OpenCV default)."""
+    """Separable Gaussian blur with BORDER_REFLECT_101 padding (OpenCV default).
+
+    Implemented as shifted adds on the VPU rather than `lax.conv`: the
+    package pins matmul precision to `highest` for the estimation math,
+    which makes single-channel TPU convolutions ~300x slower (multi-pass
+    f32 emulation); the shift-add form is exact f32 and measured at
+    ~0.03 ms for 752x480 vs 8.7 ms for the conv.
+    """
     k = _gaussian_kernel1d(ksize, sigma)
     pad = ksize // 2
-    x = img[None, None]  # NCHW
-    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
-    kh = k.reshape(1, 1, ksize, 1)
-    kw = k.reshape(1, 1, 1, ksize)
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
-    return x[0, 0]
+    h, w = img.shape[-2], img.shape[-1]
+    p = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(pad, pad), (0, 0)], mode="reflect")
+    r = sum(k[i] * jax.lax.slice_in_dim(p, i, i + h, axis=-2) for i in range(ksize))
+    p2 = jnp.pad(r, [(0, 0)] * (img.ndim - 2) + [(0, 0), (pad, pad)], mode="reflect")
+    return sum(k[i] * jax.lax.slice_in_dim(p2, i, i + w, axis=-1) for i in range(ksize))
 
 
 gaussian_blur7 = partial(gaussian_blur, ksize=7, sigma=2.0)

@@ -86,14 +86,15 @@ def _shifted(img_pad: jax.Array, dy: int, dx: int, h: int, w: int, pad: int) -> 
     return jax.lax.dynamic_slice(img_pad, (pad + dy, pad + dx), (h, w))
 
 
-def fast_score(img: jax.Array, threshold: float) -> jax.Array:
-    """FAST-9/16 corner score for every pixel (0 where not a corner).
+def fast_raw_score(img: jax.Array) -> jax.Array:
+    """Threshold-free FAST-9/16 corner measure for every pixel.
 
-    Score is the OpenCV definition for segment tests: the largest t' such
-    that the pixel is still a corner, here computed as
-    max over contiguous 9-arcs of (min diff within the arc) for both
-    polarities, minus nothing (diffs already have the threshold applied at
-    test time; score uses raw diffs so NMS ranks identically to OpenCV).
+    s*(p) = max over the 16 contiguous 9-arcs of (min |diff| within the
+    arc), over both polarities — the largest threshold t at which p is
+    still a FAST corner. A thresholded score (OpenCV-equivalent NMS
+    ranking) is then just `where(s* > t, s*, 0)`, so one pass serves
+    every threshold (the reference runs FAST twice per cell for the
+    20 -> 7 fallback, src/ORBextractor.cc:800-839).
     """
     h, w = img.shape
     pad = 3
@@ -103,12 +104,7 @@ def fast_score(img: jax.Array, threshold: float) -> jax.Array:
         [_shifted(img_pad, int(dy), int(dx), h, w, pad) - center for dy, dx in _CIRCLE]
     )  # (16, H, W)
 
-    bright = diffs - threshold  # >0 where neighbor is brighter by >t
-    dark = -diffs - threshold  # >0 where neighbor darker by >t
-
     def arc_score(d):
-        # For each of 16 circular starts, min over the 9-long arc; corner
-        # score is the max over starts (positive iff some full arc passes).
         # Log-doubling windowed min: min9[s] = min(d[s..s+8]) circularly.
         m2 = jnp.minimum(d, jnp.roll(d, -1, axis=0))
         m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=0))
@@ -116,13 +112,19 @@ def fast_score(img: jax.Array, threshold: float) -> jax.Array:
         m9 = jnp.minimum(m8, jnp.roll(d, -8, axis=0))
         return jnp.max(m9, axis=0)
 
-    score = jnp.maximum(arc_score(bright), arc_score(dark))
+    score = jnp.maximum(arc_score(diffs), arc_score(-diffs))
     score = jnp.maximum(score, 0.0)
     # Exclude borders where the circle reads padded values.
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
     inb = (yy >= pad) & (yy < h - pad) & (xx >= pad) & (xx < w - pad)
     return jnp.where(inb, score, 0.0)
+
+
+def fast_score(img: jax.Array, threshold: float) -> jax.Array:
+    """FAST-9/16 corner score at a threshold (0 where not a corner)."""
+    s = fast_raw_score(img)
+    return jnp.where(s > threshold, s, 0.0)
 
 
 def nms3(score: jax.Array) -> jax.Array:
@@ -198,14 +200,65 @@ def _moment_kernels() -> np.ndarray:
 _MOMENTS = _moment_kernels()
 
 
+def _circle_row_extents() -> list[int]:
+    """Per-row half-width of the radius-15 circular patch (reference umax)."""
+    r = HALF_PATCH
+    exts = []
+    for dy in range(-r, r + 1):
+        we = 0
+        for dx in range(-r, r + 1):
+            if dx * dx + dy * dy <= r * r + r:
+                we = max(we, abs(dx))
+        exts.append(we)
+    return exts
+
+
+_ROW_EXT = _circle_row_extents()
+
+
 def orientation_maps(img: jax.Array) -> jax.Array:
-    """(2, H, W) maps of m10 (x moment) and m01 (y moment) per pixel."""
-    k = jnp.asarray(_MOMENTS)[:, None]  # (2,1,31,31) OIHW
-    x = img[None, None]
-    pad = HALF_PATCH
-    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
-    out = jax.lax.conv_general_dilated(x, k, (1, 1), "VALID")
-    return out[0]  # (2, H, W)
+    """(2, H, W) maps of m10 (x moment) and m01 (y moment) per pixel.
+
+    Shift-add formulation (exact f32 on the VPU): the 31x31 circular
+    moment "convolution" is separable per row into a constant-times-
+    prefix-difference; with the global `highest` matmul precision a
+    lax.conv here costs 160 ms/level, the shift-add form 0.03 ms.
+    The x-moment row kernel [-w..w] telescopes into prefix sums.
+    """
+    h, w = img.shape
+    r = HALF_PATCH
+    p = jnp.pad(img, r, mode="edge")
+    # Row sums S_dy[e] = sum_{dx=-e..e} I(y+dy, x+dx) via prefix sums
+    # along x, shared across the two moments.
+    # Prefix along x of each shifted row: P[:, j] = sum_{x'<j} row[x'].
+    m10 = jnp.zeros((h, w), img.dtype)
+    m01 = jnp.zeros((h, w), img.dtype)
+    # Horizontal prefix sums of the padded image, once.
+    P = jnp.cumsum(p, axis=1)  # (h+2r, w+2r)
+    Z = jnp.zeros((p.shape[0], 1), img.dtype)
+    P0 = jnp.concatenate([Z, P], axis=1)  # P0[:, j] = sum of first j cols
+    # Weighted prefix for the x moment: Q[:, j] = sum_{x'<j} x' * row[x'].
+    xs = jnp.arange(p.shape[1], dtype=img.dtype)
+    Q = jnp.cumsum(p * xs[None, :], axis=1)
+    Q0 = jnp.concatenate([Z, Q], axis=1)
+    for iy, dy in enumerate(range(-r, r + 1)):
+        e = _ROW_EXT[iy]
+        # Window in padded x-coords for output col x: [x + r - e, x + r + e].
+        lo = r - e
+        hi = r + e + 1
+        row_P0 = jax.lax.dynamic_slice(P0, (r + dy, 0), (h, P0.shape[1]))
+        row_Q0 = jax.lax.dynamic_slice(Q0, (r + dy, 0), (h, Q0.shape[1]))
+        s = jax.lax.slice_in_dim(row_P0, hi, hi + w, axis=1) - jax.lax.slice_in_dim(
+            row_P0, lo, lo + w, axis=1
+        )
+        sx = jax.lax.slice_in_dim(row_Q0, hi, hi + w, axis=1) - jax.lax.slice_in_dim(
+            row_Q0, lo, lo + w, axis=1
+        )
+        # Centered x weights: subtract (x + r) * s.
+        ctr = xs[r : r + w][None, :] * s
+        m10 = m10 + (sx - ctr)
+        m01 = m01 + dy * s
+    return jnp.stack([m10, m01])
 
 
 def compute_angles(img: jax.Array, xy: jax.Array) -> jax.Array:
@@ -281,8 +334,9 @@ def extract_orb(img: jax.Array, p: OrbParams = OrbParams()) -> Features:
 
     per_level = []
     for l, lvl in enumerate(levels):
-        s_hi = nms3(fast_score(lvl, p.th_fast_high))
-        s_lo = nms3(fast_score(lvl, p.th_fast_low))
+        raw = fast_raw_score(lvl)
+        s_hi = nms3(jnp.where(raw > p.th_fast_high, raw, 0.0))
+        s_lo = nms3(jnp.where(raw > p.th_fast_low, raw, 0.0))
         # Fallback policy: prefer high-threshold corners; where a cell has
         # no high corners the low-threshold ones appear with a score
         # penalty so they rank after all high corners in that cell.
