@@ -111,6 +111,36 @@ def render_frame(scene: SyntheticScene, R_wc: np.ndarray, t_wc: np.ndarray) -> n
     return img
 
 
+def render_depth(scene: SyntheticScene, R_wc: np.ndarray, t_wc: np.ndarray) -> np.ndarray:
+    """Depth map matching render_frame's rasterization (for RGB-D tests)."""
+    R_cw = R_wc.T
+    t_cw = -R_cw @ t_wc
+    pc = scene.points @ R_cw.T + t_cw
+    z = pc[:, 2]
+    vis = z > 0.3
+    uv = pc[vis] @ scene.K.T
+    uv = uv[:, :2] / uv[:, 2:3]
+    zz = z[vis]
+    ss = scene.size[vis]
+    dep = np.zeros((scene.height, scene.width), np.float32)
+    order = np.argsort(-zz)
+    for j in order:
+        u, v = uv[j]
+        s = int(ss[j])
+        half = s // 2
+        iu, iv = int(round(u)) - half, int(round(v)) - half
+        if -s < iu < scene.width and -s < iv < scene.height:
+            u0, u1 = max(iu, 0), min(iu + s, scene.width)
+            v0, v1 = max(iv, 0), min(iv + s, scene.height)
+            dep[v0:v1, u0:u1] = zz[j]
+    return dep
+
+
+def stereo_right_pose(R_wc: np.ndarray, t_wc: np.ndarray, baseline: float):
+    """Camera-to-world pose of the right camera of a rectified pair."""
+    return R_wc, t_wc + R_wc @ np.array([baseline, 0.0, 0.0], np.float32)
+
+
 def render_sequence(scene, Rs_wc, ts_wc):
     return [render_frame(scene, R, t) for R, t in zip(Rs_wc, ts_wc)]
 

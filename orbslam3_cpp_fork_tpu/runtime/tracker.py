@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.map_state import LEVEL_SIGMA2, MapConfig, MapState, N_LEVELS, SCALE_FACTOR
-from ..ops import matching, orb, ransac
+from ..ops import matching, orb, ransac, stereo
 from ..ops.camera import Camera, undistort_points
 from ..ops import geometry
 from ..optim import pose_opt
@@ -51,12 +51,31 @@ class TrackState(enum.Enum):
     LOST = 4
 
 
+class Sensor(enum.Enum):
+    """System::eSensor (include/System.h:60-68)."""
+
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+    IMU_MONOCULAR = 3
+    IMU_STEREO = 4
+    IMU_RGBD = 5
+
+
 @dataclasses.dataclass
 class TrackerConfig:
     camera: Camera = None
     width: int = 752
     height: int = 480
+    sensor: Sensor = Sensor.MONOCULAR
     orb: orb.OrbParams = dataclasses.field(default_factory=orb.OrbParams)
+    # Stereo / RGB-D: bf = baseline * fx (reference mbf); close/far point
+    # threshold mThDepth = bf * ThDepth / fx with ThDepth=40 in the
+    # dataset YAMLs (Examples/Stereo/EuRoC.yaml).
+    bf: float = 0.0
+    th_depth: float = 0.0
+    depth_factor: float = 1.0  # RGB-D depth map -> meters
+    stereo_init_min_features: int = 500  # StereoInitialization (:2246)
     # Matching / tracking thresholds (reference values).
     init_min_matches: int = 100  # MonocularInitialization (src/Tracking.cc:2341)
     min_track_matches: int = 20
@@ -226,11 +245,14 @@ class FrameData:
     R: np.ndarray | None = None  # Tcw
     t: np.ndarray | None = None
     lm_idx: np.ndarray | None = None  # (N,) bound landmark ids (-1 none)
+    ur: np.ndarray | None = None  # (N,) right-u (<0 mono feature)
+    depth: np.ndarray | None = None  # (N,) depth (<0 unknown)
 
 
-class MonoTracker:
-    """Monocular SLAM front-end + local mapping (System::TrackMonocular
-    path, src/System.cc:454 + src/Tracking.cc:1773 Track())."""
+class Tracker:
+    """SLAM front-end + local mapping for all sensor kinds
+    (System::TrackMonocular/TrackStereo/TrackRGBD paths,
+    src/System.cc:270-539 + src/Tracking.cc:1773 Track())."""
 
     def __init__(self, cfg: TrackerConfig):
         assert cfg.camera is not None
@@ -265,6 +287,7 @@ class MonoTracker:
     def _extract(self, img: np.ndarray, timestamp: float) -> FrameData:
         feats = orb.extract_orb_jit(jnp.asarray(img, jnp.float32), self.cfg.orb)
         xy_ud = undistort_points(self.cam, feats.xy)
+        n = self.cfg.orb.n_features
         fd = FrameData(
             frame_id=self.frame_id,
             timestamp=timestamp,
@@ -274,7 +297,9 @@ class MonoTracker:
             desc=np.asarray(feats.desc),
             desc_i8=np.asarray(feats.desc_i8),
             valid=np.asarray(feats.valid),
-            lm_idx=np.full(self.cfg.orb.n_features, -1, np.int32),
+            lm_idx=np.full(n, -1, np.int32),
+            ur=np.full(n, -1.0, np.float32),
+            depth=np.full(n, -1.0, np.float32),
         )
         return fd
 
@@ -283,10 +308,80 @@ class MonoTracker:
     # ------------------------------------------------------------------
 
     def track(self, img: np.ndarray, timestamp: float) -> np.ndarray | None:
-        """Process one frame; returns 4x4 Tcw or None while initializing/lost."""
+        """Monocular frame; returns 4x4 Tcw or None while initializing/lost."""
         frame = self._extract(img, timestamp)
+        return self._process(frame)
+
+    def track_stereo(
+        self, img_l: np.ndarray, img_r: np.ndarray, timestamp: float
+    ) -> np.ndarray | None:
+        """Rectified stereo pair (System::TrackStereo, src/System.cc:270).
+        Left/right ORB extraction (the reference's two std::threads,
+        src/Frame.cc:202-205, become two async-dispatched XLA programs)
+        followed by the dense row-banded stereo match kernel."""
+        jl = jnp.asarray(img_l, jnp.float32)
+        jr = jnp.asarray(img_r, jnp.float32)
+        fl = orb.extract_orb_jit(jl, self.cfg.orb)
+        fr = orb.extract_orb_jit(jr, self.cfg.orb)
+        min_z = self.cfg.bf / self.fx  # baseline (src/Frame.cc:961)
+        ur, depth, ok = stereo.compute_stereo_matches(
+            jl, jr,
+            fl.desc_i8, fl.xy, fl.level, fl.valid,
+            fr.desc_i8, fr.xy, fr.level, fr.valid,
+            jnp.float32(self.cfg.bf), jnp.float32(min_z),
+        )
+        frame = FrameData(
+            frame_id=self.frame_id,
+            timestamp=timestamp,
+            xy=np.asarray(fl.xy),  # rectified input: keypoints already undistorted
+            level=np.asarray(fl.level),
+            angle=np.asarray(fl.angle),
+            desc=np.asarray(fl.desc),
+            desc_i8=np.asarray(fl.desc_i8),
+            valid=np.asarray(fl.valid),
+            lm_idx=np.full(self.cfg.orb.n_features, -1, np.int32),
+            ur=np.asarray(ur),
+            depth=np.asarray(depth),
+        )
+        return self._process(frame)
+
+    def track_rgbd(
+        self, img: np.ndarray, depth_map: np.ndarray, timestamp: float
+    ) -> np.ndarray | None:
+        """RGB-D frame (System::TrackRGBD, src/System.cc:368): depth map
+        sampled at raw keypoints -> virtual right coordinate."""
+        feats = orb.extract_orb_jit(jnp.asarray(img, jnp.float32), self.cfg.orb)
+        xy_ud = np.asarray(undistort_points(self.cam, feats.xy))
+        _, d, ok = stereo.depth_to_stereo(
+            jnp.asarray(depth_map, jnp.float32), feats.xy,
+            jnp.float32(self.cfg.bf), jnp.float32(self.cfg.depth_factor),
+        )
+        d = np.asarray(d)
+        ok = np.asarray(ok)
+        # ur against the *undistorted* u (ComputeStereoFromRGBD uses the
+        # undistorted keypoint, src/Frame.cc:1147).
+        ur = np.where(ok, xy_ud[:, 0] - self.cfg.bf / np.maximum(d, 1e-6), -1.0)
+        frame = FrameData(
+            frame_id=self.frame_id,
+            timestamp=timestamp,
+            xy=xy_ud,
+            level=np.asarray(feats.level),
+            angle=np.asarray(feats.angle),
+            desc=np.asarray(feats.desc),
+            desc_i8=np.asarray(feats.desc_i8),
+            valid=np.asarray(feats.valid),
+            lm_idx=np.full(self.cfg.orb.n_features, -1, np.int32),
+            ur=ur.astype(np.float32),
+            depth=d.astype(np.float32),
+        )
+        return self._process(frame)
+
+    def _process(self, frame: FrameData) -> np.ndarray | None:
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
-            self._initialize(frame)
+            if self.cfg.sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR):
+                self._initialize(frame)
+            else:
+                self._initialize_from_depth(frame)
         elif self.state in (TrackState.LOST, TrackState.RECENTLY_LOST):
             self._relocalize(frame)
         else:
@@ -395,6 +490,62 @@ class MonoTracker:
         )
 
     # ------------------------------------------------------------------
+    # Stereo / RGB-D initialization (StereoInitialization,
+    # src/Tracking.cc:2238-2340): depth gives metric structure from one
+    # frame — first frame becomes KF 0 at the origin.
+    # ------------------------------------------------------------------
+
+    def _unproject_depth(self, frame: FrameData, feats: np.ndarray) -> np.ndarray:
+        """Back-project features with known depth to world points."""
+        z = frame.depth[feats]
+        x = (frame.xy[feats, 0] - self.cx) / self.fx * z
+        y = (frame.xy[feats, 1] - self.cy) / self.fy * z
+        pc = np.stack([x, y, z], 1).astype(np.float32)
+        Rwc = frame.R.T
+        return pc @ Rwc.T + (-Rwc @ frame.t)
+
+    def _initialize_from_depth(self, frame: FrameData):
+        if int(frame.valid.sum()) < self.cfg.stereo_init_min_features:
+            self.last = frame
+            self.state = TrackState.NOT_INITIALIZED
+            return
+        frame.R = np.eye(3, dtype=np.float32)
+        frame.t = np.zeros(3, np.float32)
+        feats = np.nonzero(frame.valid & (frame.depth > 0))[0]
+        if len(feats) < 100:
+            frame.R = frame.t = None
+            self.last = frame
+            return
+        m = self.map
+        X = self._unproject_depth(frame, feats)
+        dirs = X - 0.0  # camera at origin
+        dist = np.linalg.norm(dirs, axis=1)
+        lm_ids = m.add_landmarks(
+            pos=X,
+            desc_packed=frame.desc[feats],
+            desc_i8=frame.desc_i8[feats],
+            first_kf=0,
+            level=frame.level[feats],
+            normal=(dirs / np.maximum(dist[:, None], 1e-9)).astype(np.float32),
+            min_dist=(dist * 0.5).astype(np.float32),
+            max_dist=(dist * 2.0).astype(np.float32),
+        )
+        frame.lm_idx[feats] = lm_ids
+        k = m.add_keyframe(
+            frame.R, frame.t, frame.xy, frame.level, frame.angle, frame.desc,
+            frame.valid, frame.lm_idx, frame.timestamp, frame.frame_id,
+            ur=frame.ur, depth=frame.depth,
+        )
+        m.update_landmark_stats(lm_ids)
+        self.ref_kf = k
+        self.last_kf_frame_id = frame.frame_id
+        self.velocity = None
+        self.state = TrackState.OK
+        self.n_kf_inserted = 1
+        self.last = frame
+        log.info("stereo/RGB-D map initialized: %d landmarks", len(feats))
+
+    # ------------------------------------------------------------------
     # Frame tracking
     # ------------------------------------------------------------------
 
@@ -473,10 +624,16 @@ class MonoTracker:
             [self._feat_sigma2(frame.level[bound]), np.ones(pad, np.float32)]
         )
         valid = np.concatenate([np.ones(len(bound), bool), np.zeros(pad, bool)])
+        ur_c = np.concatenate(
+            [frame.ur[bound] - self.cx, np.zeros(pad, np.float32)]
+        ).astype(np.float32)
+        is_st = np.concatenate([frame.ur[bound] >= 0, np.zeros(pad, bool)])
         res = pose_opt.pose_optimization(
             jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(Xw),
             jnp.asarray(uv_c), jnp.asarray(sig2), jnp.asarray(valid),
             self.fx, self.fy,
+            ur=jnp.asarray(ur_c), bf=jnp.float32(self.cfg.bf),
+            is_stereo=jnp.asarray(is_st),
         )
         frame.R = np.asarray(res.R)
         frame.t = np.asarray(res.t)
@@ -658,6 +815,7 @@ class MonoTracker:
         k = m.add_keyframe(
             frame.R, frame.t, frame.xy, frame.level, frame.angle, frame.desc,
             frame.valid, frame.lm_idx, frame.timestamp, frame.frame_id,
+            ur=frame.ur, depth=frame.depth,
         )
         self.last_kf_frame_id = frame.frame_id
         self.ref_kf = k
@@ -667,9 +825,15 @@ class MonoTracker:
         seen = frame.lm_idx[frame.lm_idx >= 0]
         m.update_landmark_stats(np.unique(seen))
 
+        new_ids: list[int] = []
+        # Stereo/RGB-D: seed close points directly from depth
+        # (CreateNewKeyFrame, src/Tracking.cc:3069-3184: create points for
+        # depth < mThDepth, or at least the 100 closest).
+        if self.cfg.sensor not in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR):
+            new_ids.extend(self._seed_depth_points(frame, k))
+
         # New landmarks by epipolar triangulation vs covisible KFs.
         neigh, _ = m.covisible_keyframes(k, min_weight=15, top=self.cfg.local_window_kfs)
-        new_ids = []
         for k2 in neigh:
             new_ids.extend(self._triangulate_new(k, int(k2)))
         if new_ids:
@@ -686,6 +850,38 @@ class MonoTracker:
             "KF %d inserted (frame %d): %d new lms, map: %d KFs / %d lms",
             k, frame.frame_id, len(new_ids), m.n_keyframes(), m.n_landmarks(),
         )
+
+    def _seed_depth_points(self, frame: FrameData, k: int) -> list[int]:
+        """Create landmarks for unbound close-depth features of a new
+        stereo/RGB-D keyframe (src/Tracking.cc:3110-3170)."""
+        m = self.map
+        cand = np.nonzero(frame.valid & (frame.depth > 0) & (frame.lm_idx < 0))[0]
+        if len(cand) == 0:
+            return []
+        order = cand[np.argsort(frame.depth[cand])]
+        close = frame.depth[order] < max(self.cfg.th_depth, 0.0)
+        n_take = max(int(close.sum()), min(100, len(order)))
+        take = order[:n_take]
+        X = self._unproject_depth(frame, take)
+        cam_center = -frame.R.T @ frame.t
+        dirs = X - cam_center
+        dist = np.linalg.norm(dirs, axis=1)
+        try:
+            ids = m.add_landmarks(
+                pos=X,
+                desc_packed=frame.desc[take],
+                desc_i8=frame.desc_i8[take],
+                first_kf=k,
+                level=frame.level[take],
+                normal=(dirs / np.maximum(dist[:, None], 1e-9)).astype(np.float32),
+                min_dist=(dist * 0.5).astype(np.float32),
+                max_dist=(dist * 2.0).astype(np.float32),
+            )
+        except RuntimeError:
+            return []
+        frame.lm_idx[take] = ids
+        m.add_observation(k, take, ids)
+        return [int(i) for i in ids]
 
     def _triangulate_new(self, k1: int, k2: int) -> list[int]:
         """Triangulate new landmarks between two keyframes."""
@@ -803,7 +999,7 @@ class MonoTracker:
         lm_lookup[lms] = np.arange(len(lms))
 
         # Gather observations.
-        o_kf, o_lm, o_uv, o_sig = [], [], [], []
+        o_kf, o_lm, o_uv, o_sig, o_ur, o_st = [], [], [], [], [], []
         for ki, k in enumerate(kfs):
             li = lm_lookup[np.maximum(m.kf_lm_idx[k], 0)]
             sel = (m.kf_lm_idx[k] >= 0) & (li >= 0)
@@ -812,14 +1008,19 @@ class MonoTracker:
             o_lm.append(li[f])
             o_uv.append(m.kf_xy[k, f] - [self.cx, self.cy])
             o_sig.append(self._feat_sigma2(m.kf_level[k, f]))
+            o_ur.append(m.kf_ur[k, f] - self.cx)
+            o_st.append(m.kf_ur[k, f] >= 0)
         o_kf = np.concatenate(o_kf)
         o_lm = np.concatenate(o_lm)
         o_uv = np.concatenate(o_uv).astype(np.float32)
         o_sig = np.concatenate(o_sig)
+        o_ur = np.concatenate(o_ur).astype(np.float32)
+        o_st = np.concatenate(o_st)
         O_n = cfg.ba_obs_cap
         if len(o_kf) > O_n:
             keep = np.random.default_rng(0).permutation(len(o_kf))[:O_n]
             o_kf, o_lm, o_uv, o_sig = o_kf[keep], o_lm[keep], o_uv[keep], o_sig[keep]
+            o_ur, o_st = o_ur[keep], o_st[keep]
         pad_o = O_n - len(o_kf)
 
         L_n = cfg.ba_lm_cap
@@ -839,16 +1040,16 @@ class MonoTracker:
             obs_lm=jnp.asarray(np.concatenate([o_lm, np.zeros(pad_o)]).astype(np.int32)),
             obs_uvr=jnp.asarray(
                 np.concatenate(
-                    [np.concatenate([o_uv, np.zeros((len(o_uv), 1), np.float32)], 1),
+                    [np.concatenate([o_uv, o_ur[:, None]], 1),
                      np.zeros((pad_o, 3), np.float32)]
                 )
             ),
             obs_sigma2=jnp.asarray(np.concatenate([o_sig, np.ones(pad_o, np.float32)])),
-            obs_stereo=jnp.zeros(O_n, bool),
+            obs_stereo=jnp.asarray(np.concatenate([o_st, np.zeros(pad_o, bool)])),
             obs_valid=jnp.asarray(np.concatenate([np.ones(len(o_kf), bool), np.zeros(pad_o, bool)])),
             fx=jnp.float32(self.fx),
             fy=jnp.float32(self.fy),
-            bf=jnp.float32(0.0),
+            bf=jnp.float32(self.cfg.bf),
         )
         from ..optim.local_ba import local_ba as run_ba
 
@@ -891,3 +1092,7 @@ class MonoTracker:
             ts.append(t)
             poses.append(T)
         return np.asarray(ts), np.asarray(poses)
+
+
+# Backwards-compatible name for the monocular-only milestone API.
+MonoTracker = Tracker
