@@ -30,6 +30,36 @@ class SyntheticScene:
     width: int
     height: int
     K: np.ndarray  # (3,3)
+    # (P,s,s) per-point texture patch: makes BRIEF descriptors DISTINCT
+    # between points (untextured squares all look alike to a binary
+    # descriptor, starving the matcher's ratio test).
+    pattern: np.ndarray | None = None
+
+
+
+def _make_patterns(rng, n_points: int, s_max: int, intensity: np.ndarray) -> np.ndarray:
+    """Per-point texture patches (s_max, s_max): base intensity modulated
+    by LOW-FREQUENCY point-specific noise (a coarse grid bilinearly
+    upsampled). Low frequency matters: per-pixel noise makes BRIEF
+    comparisons flip under the sub-pixel sampling shifts of small
+    viewpoint changes, which no real image exhibits after the 7x7
+    Gaussian blur ORB applies."""
+    g = 4  # coarse grid
+    coarse = rng.uniform(-70.0, 70.0, (n_points, g, g)).astype(np.float32)
+    # Bilinear upsample g x g -> s_max x s_max.
+    xs = np.linspace(0, g - 1, s_max)
+    x0 = np.floor(xs).astype(int)
+    x1 = np.minimum(x0 + 1, g - 1)
+    wx = (xs - x0).astype(np.float32)
+    rows = (
+        coarse[:, :, x0] * (1 - wx) + coarse[:, :, x1] * wx
+    )  # (P,g,s_max)
+    noise = (
+        rows[:, x0, :] * (1 - wx)[None, :, None]
+        + rows[:, x1, :] * wx[None, :, None]
+    )  # (P,s_max,s_max)
+    pat = np.clip(intensity[:, None, None] + noise, 20.0, 250.0)
+    return pat.astype(np.float32)
 
 
 def make_scene(
@@ -55,14 +85,71 @@ def make_scene(
     K = np.array(
         [[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1]], np.float32
     )
+    intensity = rng.uniform(70, 240, n_points).astype(np.float32)
+    size = rng.integers(*size_range, n_points).astype(np.int32)
     return SyntheticScene(
         points=pts,
-        intensity=rng.uniform(70, 240, n_points).astype(np.float32),
-        size=rng.integers(*size_range, n_points).astype(np.int32),
+        intensity=intensity,
+        size=size,
         width=width,
         height=height,
         K=K,
+        pattern=_make_patterns(rng, n_points, int(size_range[1]), intensity),
     )
+
+
+def make_ring_scene(
+    n_points=3000,
+    r_inner=8.0,
+    r_outer=14.0,
+    half_height=4.0,
+    width=640,
+    height=480,
+    fx=400.0,
+    seed=0,
+    size_range=(5, 11),
+) -> SyntheticScene:
+    """Points in an annulus around the origin — for loop-closure tests
+    where a camera circles inside looking outward and revisits its
+    starting view after 360 degrees."""
+    rng = np.random.default_rng(seed)
+    th = rng.uniform(0, 2 * np.pi, n_points)
+    r = rng.uniform(r_inner, r_outer, n_points)
+    pts = np.stack(
+        [r * np.cos(th), r * np.sin(th), rng.uniform(-half_height, half_height, n_points)],
+        axis=1,
+    ).astype(np.float32)
+    K = np.array(
+        [[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1]], np.float32
+    )
+    intensity = rng.uniform(70, 240, n_points).astype(np.float32)
+    size = rng.integers(*size_range, n_points).astype(np.int32)
+    return SyntheticScene(
+        points=pts,
+        intensity=intensity,
+        size=size,
+        width=width,
+        height=height,
+        K=K,
+        pattern=_make_patterns(rng, n_points, int(size_range[1]), intensity),
+    )
+
+
+def circle_trajectory(n_frames=120, radius=2.5, total_angle=2.35 * np.pi):
+    """Camera on a circle looking radially outward; sweeps total_angle
+    (default ~360 deg + overlap so the loop actually re-observes the
+    start). Returns camera-to-world (R_wc, t_wc) stacks."""
+    Rs, ts = [], []
+    for i in range(n_frames):
+        th = total_angle * i / n_frames
+        z_w = np.array([np.cos(th), np.sin(th), 0.0])  # optical axis: outward
+        x_w = np.array([-np.sin(th), np.cos(th), 0.0])  # image x: tangent
+        y_w = np.cross(z_w, x_w)
+        Rwc = np.stack([x_w, y_w, z_w], axis=1).astype(np.float32)
+        twc = np.array([radius * np.cos(th), radius * np.sin(th), 0.0], np.float32)
+        Rs.append(Rwc)
+        ts.append(twc)
+    return np.stack(Rs), np.stack(ts)
 
 
 def smooth_trajectory(n_frames=60, step=0.06, yaw_rate=0.004, seed=1):
@@ -98,6 +185,7 @@ def render_frame(scene: SyntheticScene, R_wc: np.ndarray, t_wc: np.ndarray) -> n
     ii = scene.intensity[vis]
     ss = scene.size[vis]
     img = np.full((scene.height, scene.width), 35.0, np.float32)
+    vis_idx = np.nonzero(vis)[0]
     order = np.argsort(-zz)  # far first (near blobs overwrite)
     for j in order:
         u, v = uv[j]
@@ -107,7 +195,11 @@ def render_frame(scene: SyntheticScene, R_wc: np.ndarray, t_wc: np.ndarray) -> n
         if -s < iu < scene.width and -s < iv < scene.height:
             u0, u1 = max(iu, 0), min(iu + s, scene.width)
             v0, v1 = max(iv, 0), min(iv + s, scene.height)
-            img[v0:v1, u0:u1] = ii[j]
+            if scene.pattern is not None:
+                pat = scene.pattern[vis_idx[j], : s, : s]
+                img[v0:v1, u0:u1] = pat[v0 - iv : v1 - iv, u0 - iu : u1 - iu]
+            else:
+                img[v0:v1, u0:u1] = ii[j]
     return img
 
 

@@ -1,0 +1,128 @@
+"""Keyframe recognition database.
+
+Replaces KeyFrameDatabase (src/KeyFrameDatabase.cc) + the DBoW2
+vocabulary. The reference depends on a 145 MB offline-trained ORB
+vocabulary that is not shipped (SURVEY.md §6 missing blobs); instead the
+vocabulary is built ONLINE: the first `n_words` descriptors observed by
+the map become the codebook (a k-means-init style sample of the actual
+descriptor distribution — random bit centers are useless because ORB
+descriptors concentrate at ~128 bits from any random center, making
+argmin assignments unstable).
+
+Scoring = cosine over idf-weighted, corpus-mean-centered word
+histograms; each query is one K x W matvec. Validated for
+same-place/different-place margin in tests/test_retrieval.py, which is
+the recall validation SURVEY.md §2.8 requires for replacing DBoW2.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import matching
+
+N_WORDS = 1024
+
+
+class KeyFrameDatabase:
+    def __init__(self, max_keyframes: int, n_words: int = N_WORDS, seed: int = 0):
+        self.n_words = n_words
+        self._seed = seed
+        self.codebook: np.ndarray | None = None  # (W,256) int8
+        self._cb_j = None
+        self._pool: list[np.ndarray] = []
+        self._pool_count = 0
+        self._pending: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.hists = np.zeros((max_keyframes, n_words), np.float32)
+        self.present = np.zeros(max_keyframes, bool)
+
+    # ------------------------------------------------------------------
+
+    def _maybe_build_codebook(self):
+        if self.codebook is not None or self._pool_count < self.n_words:
+            return
+        pool = np.concatenate(self._pool)
+        rng = np.random.default_rng(self._seed)
+        sel = rng.permutation(len(pool))[: self.n_words]
+        self.codebook = pool[sel].astype(np.int8)
+        self._cb_j = jnp.asarray(self.codebook)
+        self._pool = []
+        # Flush keyframes added before the vocabulary existed.
+        for k, (d, v) in list(self._pending.items()):
+            self.hists[k] = self._hist(d, v)
+            self.present[k] = True
+        self._pending.clear()
+
+    def _hist(self, desc_i8: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        dist = np.asarray(
+            matching.hamming_matrix(jnp.asarray(desc_i8), self._cb_j)
+        )
+        words = np.argmin(dist, axis=1)
+        h = np.zeros(self.n_words, np.float32)
+        np.add.at(h, words[valid], 1.0)
+        return h
+
+    # ------------------------------------------------------------------
+
+    def histogram(self, desc_i8: np.ndarray, valid: np.ndarray) -> np.ndarray | None:
+        """Word histogram of a frame, or None while the online vocabulary
+        is still collecting descriptors."""
+        if self.codebook is None:
+            return None
+        return self._hist(desc_i8, valid)
+
+    def add(self, k: int, desc_i8: np.ndarray, valid: np.ndarray):
+        if self.codebook is None:
+            d = desc_i8[valid]
+            self._pool.append(d.copy())
+            self._pool_count += len(d)
+            self._pending[k] = (desc_i8.copy(), valid.copy())
+            self._maybe_build_codebook()
+            return
+        self.hists[k] = self._hist(desc_i8, valid)
+        self.present[k] = True
+
+    def erase(self, k: int):
+        self.present[k] = False
+        self.hists[k] = 0.0
+        self._pending.pop(k, None)
+
+    def clear(self):
+        self.present[:] = False
+        self.hists[:] = 0.0
+        self._pending.clear()
+
+    # ------------------------------------------------------------------
+
+    def query(
+        self,
+        hist: np.ndarray,
+        exclude: np.ndarray | None = None,
+        n_best: int = 3,
+        min_score: float = 0.03,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-n keyframes by idf-weighted centered cosine similarity,
+        excluding the given set (the reference excludes the query's
+        covisibility group, src/KeyFrameDatabase.cc:629)."""
+        if self.codebook is None or not self.present.any():
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        P = self.hists[self.present]
+        mean = P.mean(axis=0)
+        df = (P > 0).sum(axis=0)
+        idf = np.log((1.0 + len(P)) / (1.0 + df)).astype(np.float32)
+
+        def embed(h):
+            e = (h - mean) * idf
+            return e / max(np.linalg.norm(e), 1e-9)
+
+        q = embed(hist)
+        emb = (self.hists - mean) * idf
+        norms = np.maximum(np.linalg.norm(emb, axis=1), 1e-9)
+        scores = (emb @ q) / norms
+        scores[~self.present] = -1.0
+        if exclude is not None and len(exclude):
+            scores[np.asarray(exclude, np.int64)] = -1.0
+        order = np.argsort(-scores)[:n_best]
+        keep = scores[order] > min_score
+        return order[keep], scores[order][keep]

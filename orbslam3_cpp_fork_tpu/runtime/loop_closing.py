@@ -1,0 +1,523 @@
+"""Loop detection + correction.
+
+Host-orchestrated redesign of the LoopClosing thread
+(src/LoopClosing.cc): every heavy stage is a batched device program —
+signature query (one matvec), descriptor matching (one MXU matmul),
+Sim3 RANSAC (all hypotheses vmapped), Sim3 refinement (GN), guided
+projection verification (masked dense match), essential-graph
+optimization (optim/pose_graph.py).
+
+Pipeline per keyframe (NewDetectCommonRegions :328 + CorrectLoop :1062):
+ 1. guards: enough KFs, distance from last correction
+ 2. KeyFrameDatabase query excluding the covisible group
+ 3. geometric validation per candidate:
+      descriptor match on landmark-bound features  (SearchByBoW analog)
+      -> Sim3 RANSAC on matched camera-frame points  (Sim3Solver)
+      -> Sim3 GN refinement                          (OptimizeSim3)
+      -> guided projection of the candidate window's landmarks
+         into the current KF                          (SearchByProjection)
+ 4. temporal consistency: strong single-shot accept at nProjStrong,
+    or two consecutive KFs validating the same region at nProjWeak
+    (the reference requires 3 consecutive KFs, :407)
+ 5. correction: propagate the corrective Sim3 through the current
+    covisible window, re-anchor their landmarks, fuse duplicates
+    against the loop window (SearchAndFuse :2175), then essential-graph
+    optimization over all keyframes (temporal chain + covisibility
+    edges + the new loop edge) and landmark re-anchoring.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.map_state import LEVEL_SIGMA2, MapState, N_LEVELS
+from ..ops import matching, ransac
+from ..optim import pose_graph, sim3_opt
+from ..utils import lie
+from .keyframe_database import KeyFrameDatabase
+
+log = logging.getLogger("orbslam3_tpu.loop")
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    min_kfs: int = 12  # guard (src/LoopClosing.cc:361)
+    min_bow_matches: int = 20  # nBoWMatches (:642)
+    min_ransac_inliers: int = 12  # nBoWInliers=15 relaxed: RANSAC is pre-refine
+    min_sim3_inliers: int = 20  # nSim3Inliers (:645)
+    min_proj_weak: int = 50  # nProjMatches (:646)
+    min_proj_strong: int = 80  # nProjOptMatches single-shot accept
+    covis_edge_weight: int = 100  # minFeat essential-graph covis edges (:1522)
+    kf_gap_after_loop: int = 10
+    fix_scale: bool = False  # stereo/RGB-D/inertial
+
+
+class LoopCloser:
+    def __init__(
+        self,
+        m: MapState,
+        kfdb: KeyFrameDatabase,
+        fx: float, fy: float, cx: float, cy: float,
+        cfg: LoopConfig = LoopConfig(),
+    ):
+        self.m = m
+        self.kfdb = kfdb
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.cfg = cfg
+        self.last_loop_kf = -10**9
+        self.pending: tuple[int, int] | None = None  # (kf, candidate)
+        self.n_loops_closed = 0
+        self.loop_edges: list[tuple[int, int, tuple]] = []  # (i, j, S_ji)
+        self._rng = np.random.default_rng(7)
+
+    # ------------------------------------------------------------------
+
+    def _kf_bits(self, k: int) -> np.ndarray:
+        return np.unpackbits(
+            self.m.kf_desc[k].view(np.uint8), axis=-1, bitorder="little"
+        ).astype(np.int8)
+
+    def _sigma2(self, level: np.ndarray) -> np.ndarray:
+        return LEVEL_SIGMA2[np.clip(level, 0, N_LEVELS - 1)]
+
+    def process_keyframe(self, k: int) -> bool:
+        """Detect + (maybe) correct a loop at the new keyframe k. The
+        keyframe is added to the database afterwards either way (the
+        reference adds mpCurrentKF to the DB at the end of the detection
+        attempt, src/LoopClosing.cc:563)."""
+        m = self.m
+        bits = self._kf_bits(k)
+        closed = False
+        try:
+            if (
+                m.n_keyframes() >= self.cfg.min_kfs
+                and k - self.last_loop_kf > self.cfg.kf_gap_after_loop
+            ):
+                closed = self._detect_and_correct(k, bits)
+        finally:
+            self.kfdb.add(k, bits, m.kf_feat_valid[k])
+        return closed
+
+    # ------------------------------------------------------------------
+    # Detection
+    # ------------------------------------------------------------------
+
+    def _detect_and_correct(self, k: int, bits: np.ndarray) -> bool:
+        m = self.m
+        # Exclusion set: covisible group of k (any shared landmark) +
+        # temporally recent keyframes.
+        w = m.covisibility_weights(k)
+        exclude = np.nonzero(w > 0)[0].tolist() + [k]
+        recent = np.nonzero(
+            m.kf_valid & (m.kf_frame_id > m.kf_frame_id[k] - 3 * 30)
+        )[0]
+        exclude += recent.tolist()
+        hist = self.kfdb.histogram(bits, m.kf_feat_valid[k])
+        if hist is None:
+            return False
+        cands, scores = self.kfdb.query(hist, np.asarray(exclude), n_best=3)
+        for c, sc in zip(cands, scores):
+            res = self._validate_candidate(k, int(c))
+            if res is None:
+                continue
+            s, R, t, n_proj = res
+            strong = n_proj >= self.cfg.min_proj_strong
+            confirmed = self.pending is not None and self.pending[1] == int(c)
+            if strong or (confirmed and n_proj >= self.cfg.min_proj_weak):
+                self._correct_loop(k, int(c), s, R, t)
+                self.pending = None
+                return True
+            if n_proj >= self.cfg.min_proj_weak:
+                self.pending = (k, int(c))
+                return False
+        self.pending = None
+        return False
+
+    def _validate_candidate(self, k: int, c: int):
+        """Geometric validation; returns (s, R, t, n_proj) for S_kc
+        (candidate-camera -> current-camera Sim3) or None."""
+        m = self.m
+        cfg = self.cfg
+        lm_k = m.kf_lm_idx[k]
+        lm_c = m.kf_lm_idx[c]
+        bound_k = m.kf_feat_valid[k] & (lm_k >= 0)
+        bound_c = m.kf_feat_valid[c] & (lm_c >= 0)
+        if bound_k.sum() < cfg.min_bow_matches or bound_c.sum() < cfg.min_bow_matches:
+            return None
+        dist = matching.hamming_matrix(
+            jnp.asarray(self._kf_bits(k)), jnp.asarray(self._kf_bits(c))
+        )
+        idx, ok = matching.match_nn(
+            dist, jnp.asarray(bound_k), jnp.asarray(bound_c),
+            max_dist=matching.TH_LOW, ratio=0.75, cross_check=True,
+        )
+        ok = np.asarray(
+            matching.rotation_consistency(
+                jnp.asarray(m.kf_angle[k]), jnp.asarray(m.kf_angle[c]),
+                idx, ok,
+            )
+        )
+        idx = np.asarray(idx)
+        sel = np.nonzero(ok)[0]
+        if len(sel) < cfg.min_bow_matches:
+            return None
+
+        # Matched landmark positions in each camera frame.
+        Xk = m.lm_pos[lm_k[sel]]
+        Xc = m.lm_pos[lm_c[idx[sel]]]
+        pc_k = Xk @ m.kf_R[k].T + m.kf_t[k]
+        pc_c = Xc @ m.kf_R[c].T + m.kf_t[c]
+
+        import jax
+
+        key = jax.random.PRNGKey(int(self._rng.integers(2**31)))
+        s0, R0, t0, inl, n_inl, ok_r = ransac.sim3_ransac(
+            jnp.asarray(pc_c), jnp.asarray(pc_k),
+            jnp.ones(len(sel), bool), key, fix_scale=cfg.fix_scale,
+        )
+        if not bool(ok_r) or int(n_inl) < cfg.min_ransac_inliers:
+            return None
+
+        # GN refinement with bidirectional reprojection.
+        uv_k = m.kf_xy[k, sel] - [self.cx, self.cy]
+        uv_c = m.kf_xy[c, idx[sel]] - [self.cx, self.cy]
+        res = sim3_opt.optimize_sim3(
+            s0, R0, t0,
+            jnp.asarray(pc_k), jnp.asarray(pc_c),
+            jnp.asarray(uv_k.astype(np.float32)),
+            jnp.asarray(uv_c.astype(np.float32)),
+            jnp.asarray(self._sigma2(m.kf_level[k, sel])),
+            jnp.asarray(self._sigma2(m.kf_level[c, idx[sel]])),
+            jnp.ones(len(sel), bool),
+            self.fx, self.fy, fix_scale=cfg.fix_scale,
+        )
+        if int(res.n_inliers) < cfg.min_sim3_inliers:
+            return None
+        s, R, t = float(res.s), np.asarray(res.R), np.asarray(res.t)
+
+        # Guided projection: candidate-window landmarks into KF k.
+        n_proj = self._projection_matches(k, c, s, R, t)
+        if n_proj < cfg.min_proj_weak:
+            return None
+        log.info(
+            "loop candidate KF %d -> %d: %d bow, %d sim3 inl, %d proj",
+            k, c, len(sel), int(res.n_inliers), n_proj,
+        )
+        return s, R, t, n_proj
+
+    def _loop_window_landmarks(self, c: int, top: int = 10) -> np.ndarray:
+        m = self.m
+        nb, _ = m.covisible_keyframes(c, min_weight=1, top=top)
+        kfs = np.concatenate([[c], nb]).astype(np.int64)
+        return m.local_map_landmarks(kfs)
+
+    def _projection_matches(self, k: int, c: int, s, R, t) -> int:
+        """Count matches when projecting the candidate's window landmarks
+        into KF k through the corrected pose S_kw = S_kc o S_cw."""
+        m = self.m
+        lms = self._loop_window_landmarks(c)
+        if len(lms) == 0:
+            return 0
+        # Corrected k pose as Sim3 (scale folded into translation later).
+        s_kw, R_kw, t_kw = [np.asarray(x) for x in lie.sim3_mul(
+            jnp.float32(s), jnp.asarray(R), jnp.asarray(t),
+            jnp.float32(1.0), jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c]),
+        )]
+        pc = (m.lm_pos[lms] @ R_kw.T) * s_kw + t_kw
+        z = pc[:, 2]
+        u = self.fx * pc[:, 0] / np.maximum(z, 1e-6) + self.cx
+        v = self.fy * pc[:, 1] / np.maximum(z, 1e-6) + self.cy
+        okp = (z > 0.05) & (u >= 0) & (u < 2 * self.cx) & (v >= 0) & (v < 2 * self.cy)
+        if okp.sum() < 3:
+            return 0
+        bits = np.unpackbits(
+            m.lm_desc[lms].view(np.uint8), axis=-1, bitorder="little"
+        ).astype(np.int8)
+        uv = np.stack([u, v], 1).astype(np.float32)
+        idx, mok = matching.search_by_projection(
+            jnp.asarray(bits), jnp.asarray(okp), jnp.asarray(uv),
+            jnp.asarray(np.zeros(len(lms), np.int32)),
+            jnp.asarray(self._kf_bits(k)), jnp.asarray(m.kf_xy[k]),
+            jnp.asarray(np.zeros_like(m.kf_level[k])),
+            jnp.asarray(m.kf_feat_valid[k]),
+            jnp.asarray(np.full(len(lms), 8.0, np.float32)),
+            max_dist=matching.TH_HIGH, ratio=0.95, level_band=N_LEVELS,
+        )
+        return int(np.asarray(mok).sum())
+
+    # ------------------------------------------------------------------
+    # Correction
+    # ------------------------------------------------------------------
+
+    def _correct_loop(self, k: int, c: int, s, R, t):
+        """Propagate the corrective Sim3, fuse, optimize essential graph
+        (CorrectLoop, src/LoopClosing.cc:1062-1355)."""
+        m = self.m
+        log.info("closing loop: KF %d -> KF %d (scale %.4f)", k, c, s)
+
+        # Corrected Sim3 pose of k: S_kw_corr = S_kc o S_cw.
+        s_corr, R_corr, t_corr = [np.asarray(x) for x in lie.sim3_mul(
+            jnp.float32(s), jnp.asarray(R), jnp.asarray(t),
+            jnp.float32(1.0), jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c]),
+        )]
+
+        # Snapshot of pre-correction poses: essential-graph edge
+        # measurements must come from the ORIGINAL (drifted) geometry
+        # (the reference's NonCorrectedSim3, src/LoopClosing.cc:1119).
+        R_snap = m.kf_R.copy()
+        t_snap = m.kf_t.copy()
+
+        # Current covisible window (CorrectedSim3 map in the reference).
+        nb, _ = m.covisible_keyframes(k, min_weight=1, top=20)
+        window = np.concatenate([[k], nb]).astype(np.int64)
+        S_old = {}
+        S_new = {}
+        R_kw, t_kw = m.kf_R[k].copy(), m.kf_t[k].copy()
+        for i in window:
+            i = int(i)
+            S_old[i] = (1.0, m.kf_R[i].copy(), m.kf_t[i].copy())
+            # S_ik = S_iw_old o S_kw_old^-1
+            si, Ri, ti = [np.asarray(x) for x in lie.sim3_mul(
+                jnp.float32(1.0), jnp.asarray(m.kf_R[i]), jnp.asarray(m.kf_t[i]),
+                *lie.sim3_inv(jnp.float32(1.0), jnp.asarray(R_kw), jnp.asarray(t_kw)),
+            )]
+            sn, Rn, tn = [np.asarray(x) for x in lie.sim3_mul(
+                jnp.float32(si), jnp.asarray(Ri), jnp.asarray(ti),
+                jnp.float32(s_corr), jnp.asarray(R_corr), jnp.asarray(t_corr),
+            )]
+            S_new[i] = (float(sn), Rn, tn)
+
+        # Re-anchor the window's landmarks: X' = S_iw_new^-1(S_iw_old(X)),
+        # each via its first observing window KF. Remember the anchors so
+        # the essential-graph landmark update stays consistent.
+        lms = m.local_map_landmarks(window)
+        lm_anchor: dict[int, int] = {}
+        if len(lms):
+            anchor = np.full(len(lms), -1, np.int64)
+            for i in window:
+                unset = anchor < 0
+                anchor[np.nonzero(m.obs[i, lms] & unset)[0]] = int(i)
+            for i in window:
+                i = int(i)
+                selm = lms[anchor == i]
+                if len(selm) == 0:
+                    continue
+                so, Ro, to = S_old[i]
+                sn, Rn, tn = S_new[i]
+                pc = (m.lm_pos[selm] @ Ro.T) * so + to
+                sinv, Rinv, tinv = [np.asarray(x) for x in lie.sim3_inv(
+                    jnp.float32(sn), jnp.asarray(Rn), jnp.asarray(tn)
+                )]
+                m.lm_pos[selm] = (pc @ Rinv.T) * sinv + tinv
+                for lm in selm:
+                    lm_anchor[int(lm)] = i
+
+        # Write corrected window poses (SE3: t/s like the reference).
+        for i in window:
+            sn, Rn, tn = S_new[int(i)]
+            m.kf_R[i] = Rn
+            m.kf_t[i] = tn / sn
+
+        # Fuse duplicates: project loop-window landmarks into each
+        # corrected window KF (SearchAndFuse).
+        self._search_and_fuse(window, c)
+
+        # Essential-graph optimization over all valid keyframes.
+        self._essential_graph(k, c, window, S_new, R_snap, t_snap, lm_anchor)
+
+        self.last_loop_kf = k
+        self.n_loops_closed += 1
+        # Persist the loop edge for future essential graphs.
+        sji, Rji, tji = pose_graph.relative_sim3(
+            np.ones(m.cfg.max_keyframes, np.float32), m.kf_R, m.kf_t, c, k
+        )
+        self.loop_edges.append(
+            (c, k, (float(np.asarray(sji)), np.asarray(Rji), np.asarray(tji)))
+        )
+
+    def _search_and_fuse(self, window: np.ndarray, c: int):
+        m = self.m
+        loop_lms = self._loop_window_landmarks(c)
+        if len(loop_lms) == 0:
+            return
+        bits = np.unpackbits(
+            m.lm_desc[loop_lms].view(np.uint8), axis=-1, bitorder="little"
+        ).astype(np.int8)
+        n_fused = 0
+        for i in window:
+            pc = m.lm_pos[loop_lms] @ m.kf_R[i].T + m.kf_t[i]
+            z = pc[:, 2]
+            u = self.fx * pc[:, 0] / np.maximum(z, 1e-6) + self.cx
+            v = self.fy * pc[:, 1] / np.maximum(z, 1e-6) + self.cy
+            okp = (z > 0.05) & (u >= 0) & (u < 2 * self.cx) & (v >= 0) & (v < 2 * self.cy)
+            if okp.sum() < 3:
+                continue
+            uv = np.stack([u, v], 1).astype(np.float32)
+            idx, mok = matching.search_by_projection(
+                jnp.asarray(bits), jnp.asarray(okp), jnp.asarray(uv),
+                jnp.asarray(np.zeros(len(loop_lms), np.int32)),
+                jnp.asarray(self._kf_bits(i)), jnp.asarray(m.kf_xy[i]),
+                jnp.asarray(np.zeros_like(m.kf_level[i])),
+                jnp.asarray(m.kf_feat_valid[i]),
+                jnp.asarray(np.full(len(loop_lms), 4.0, np.float32)),
+                max_dist=matching.TH_LOW, ratio=0.9, level_band=N_LEVELS,
+            )
+            idx = np.asarray(idx)
+            mok = np.asarray(mok)
+            for j in np.nonzero(mok)[0]:
+                loop_lm = int(loop_lms[j])
+                f = int(idx[j])
+                cur_lm = int(m.kf_lm_idx[i, f])
+                if cur_lm == loop_lm:
+                    continue
+                if cur_lm >= 0:
+                    # Replace the window landmark with the (older) loop
+                    # landmark everywhere (MapPoint::Replace).
+                    self._replace_landmark(cur_lm, loop_lm)
+                else:
+                    m.add_observation(int(i), np.asarray([f]), np.asarray([loop_lm]))
+                n_fused += 1
+        if n_fused:
+            log.info("loop fuse: %d duplicate bindings merged", n_fused)
+
+    def _replace_landmark(self, old: int, new: int):
+        m = self.m
+        if old == new or not m.lm_valid[old]:
+            return
+        ks = np.nonzero(m.obs[:, old])[0]
+        for ki in ks:
+            feats = np.nonzero(m.kf_lm_idx[ki] == old)[0]
+            for f in feats:
+                if m.obs[ki, new]:
+                    m.kf_lm_idx[ki, f] = -1  # already observes new
+                else:
+                    m.kf_lm_idx[ki, f] = new
+                    m.obs[ki, new] = True
+                    m.lm_obs_count[new] += 1
+        m.obs[:, old] = False
+        m.lm_valid[old] = False
+        m.lm_obs_count[old] = 0
+        m.lm_found[new] += m.lm_found[old]
+        m.lm_visible[new] += m.lm_visible[old]
+
+    def _essential_graph(
+        self, k: int, c: int, window, S_new, R_snap, t_snap, lm_anchor
+    ):
+        """Pose-graph over all keyframes. Edge measurements come from the
+        pre-correction snapshot (the original relative geometry); window
+        vertices are seeded with their corrected Sim3 (CorrectedSim3);
+        the loop-candidate KF is the fixed gauge."""
+        m = self.m
+        valid = np.nonzero(m.kf_valid)[0]
+        if len(valid) < 3:
+            return
+        order = valid[np.argsort(m.kf_frame_id[valid])]
+        K = len(order)
+        slot = {int(kf): i for i, kf in enumerate(order)}
+        win = {int(i) for i in window}
+
+        s0 = np.ones(K, np.float32)
+        R0 = m.kf_R[order].copy()
+        t0 = m.kf_t[order].copy()
+        for i in win:
+            if i in slot:
+                sn, Rn, tn = S_new[i]
+                s0[slot[i]] = sn
+                R0[slot[i]] = Rn
+                t0[slot[i]] = tn
+
+        ei, ej, es, eR, et, ew = [], [], [], [], [], []
+
+        def add_edge_snap(a, b, wgt=1.0):
+            # measurement S_ji = S_b o S_a^-1 from the pre-correction
+            # snapshot (scale 1).
+            inv = lie.sim3_inv(
+                jnp.float32(1.0), jnp.asarray(R_snap[a]), jnp.asarray(t_snap[a])
+            )
+            sm, Rm, tm = [np.asarray(x) for x in lie.sim3_mul(
+                jnp.float32(1.0), jnp.asarray(R_snap[b]), jnp.asarray(t_snap[b]), *inv
+            )]
+            ei.append(slot[a]); ej.append(slot[b])
+            es.append(float(sm)); eR.append(Rm); et.append(tm); ew.append(wgt)
+
+        # Temporal chain (the spanning-tree analog).
+        for a, b in zip(order[:-1], order[1:]):
+            add_edge_snap(int(a), int(b))
+        # Covisibility edges with weight >= covis_edge_weight.
+        Wm = m.obs.astype(np.int32) @ m.obs.astype(np.int32).T
+        for ii in range(K):
+            for jj in range(ii + 2, K):  # skip chain neighbors
+                a, b = int(order[ii]), int(order[jj])
+                if Wm[a, b] >= self.cfg.covis_edge_weight:
+                    add_edge_snap(a, b)
+        # Previous loop edges.
+        for (a, b, (sm, Rm, tm)) in self.loop_edges:
+            if a in slot and b in slot:
+                ei.append(slot[a]); ej.append(slot[b])
+                es.append(sm); eR.append(Rm); et.append(tm); ew.append(1.0)
+        # The new loop edge: measured from the corrected relative pose
+        # S_k_corr o S_c^-1 (by construction ~ the Sim3 from validation).
+        sk, Rk, tk = S_new[k]
+        inv = lie.sim3_inv(
+            jnp.float32(1.0), jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c])
+        )
+        sm, Rm, tm = [np.asarray(x) for x in lie.sim3_mul(
+            jnp.float32(sk), jnp.asarray(Rk), jnp.asarray(tk), *inv
+        )]
+        ei.append(slot[c]); ej.append(slot[k])
+        es.append(float(sm)); eR.append(Rm); et.append(tm); ew.append(2.0)
+
+        fixed = np.zeros(K, bool)
+        fixed[slot[c]] = True
+        mode = "se3" if self.cfg.fix_scale else "sim3"
+        res = pose_graph.optimize_pose_graph(
+            jnp.asarray(s0), jnp.asarray(R0), jnp.asarray(t0),
+            jnp.ones(K, bool), jnp.asarray(fixed),
+            jnp.asarray(np.asarray(ei, np.int32)), jnp.asarray(np.asarray(ej, np.int32)),
+            jnp.asarray(np.asarray(es, np.float32)), jnp.asarray(np.stack(eR)),
+            jnp.asarray(np.stack(et)), jnp.asarray(np.asarray(ew, np.float32)),
+            jnp.asarray(pose_graph.FREE_DIMS[mode]),
+        )
+        s_n = np.asarray(res.s)
+        R_n = np.asarray(res.R)
+        t_n = np.asarray(res.t)
+
+        # Re-anchor every landmark via the pose it is currently
+        # consistent with: window-corrected landmarks use their recorded
+        # window anchor (with its corrected Sim3), everything else its
+        # first observing keyframe's snapshot pose.
+        lm_ids = np.nonzero(m.lm_valid)[0]
+        if len(lm_ids):
+            first_slot = np.argmax(m.obs[order][:, lm_ids], axis=0)
+            seen = m.obs[order][:, lm_ids].any(axis=0)
+            anchor_slot = first_slot.copy()
+            use_corrected = np.zeros(len(lm_ids), bool)
+            for j, lm in enumerate(lm_ids):
+                a = lm_anchor.get(int(lm))
+                if a is not None and a in slot:
+                    anchor_slot[j] = slot[a]
+                    use_corrected[j] = True
+            for sl in np.unique(anchor_slot[seen]):
+                for corrected in (False, True):
+                    selm_mask = (anchor_slot == sl) & seen & (use_corrected == corrected)
+                    selm = lm_ids[selm_mask]
+                    if len(selm) == 0:
+                        continue
+                    i = int(order[sl])
+                    if corrected:
+                        so, Ro, to = S_new[i]
+                    else:
+                        so, Ro, to = 1.0, R_snap[i], t_snap[i]
+                    pc = (m.lm_pos[selm] @ Ro.T) * so + to
+                    sinv, Rinv, tinv = [np.asarray(x) for x in lie.sim3_inv(
+                        jnp.float32(s_n[sl]), jnp.asarray(R_n[sl]), jnp.asarray(t_n[sl])
+                    )]
+                    m.lm_pos[selm] = (pc @ Rinv.T) * sinv + tinv
+
+        # Write optimized poses back as SE3 (t / s).
+        m.kf_R[order] = R_n
+        m.kf_t[order] = t_n / s_n[:, None]

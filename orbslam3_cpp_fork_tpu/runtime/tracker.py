@@ -76,6 +76,7 @@ class TrackerConfig:
     th_depth: float = 0.0
     depth_factor: float = 1.0  # RGB-D depth map -> meters
     stereo_init_min_features: int = 500  # StereoInitialization (:2246)
+    enable_loop_closing: bool = True
     # Matching / tracking thresholds (reference values).
     init_min_matches: int = 100  # MonocularInitialization (src/Tracking.cc:2341)
     min_track_matches: int = 20
@@ -277,6 +278,21 @@ class Tracker:
         # Trajectory bookkeeping: (frame_id, timestamp, ref_kf, R_cr, t_cr, lost)
         self.trajectory: list[tuple] = []
         self.n_kf_inserted = 0
+        # Place recognition: keyframe database (always on: relocalization
+        # uses it) + optional loop closer.
+        from .keyframe_database import KeyFrameDatabase
+        from .loop_closing import LoopCloser, LoopConfig
+
+        self.kfdb = KeyFrameDatabase(cfg.map_cfg.max_keyframes)
+        fix_scale = cfg.sensor != Sensor.MONOCULAR
+        self.loop_closer = (
+            LoopCloser(
+                self.map, self.kfdb, self.fx, self.fy, self.cx, self.cy,
+                LoopConfig(fix_scale=fix_scale),
+            )
+            if cfg.enable_loop_closing
+            else None
+        )
 
     # ------------------------------------------------------------------
 
@@ -477,6 +493,8 @@ class Tracker:
         )
         m.update_landmark_stats(lm_ids)
         frame.lm_idx = cur_lm
+        self.kfdb.add(k1, ref.desc_i8, ref.valid)
+        self.kfdb.add(k2, frame.desc_i8, frame.valid)
         # Initial BA over both KFs (GlobalBundleAdjustemnt(20) at init).
         self._local_ba([k1, k2], fix=[k1])
         # Re-normalize scale after BA (BA may drift the free gauge).
@@ -537,6 +555,7 @@ class Tracker:
             ur=frame.ur, depth=frame.depth,
         )
         m.update_landmark_stats(lm_ids)
+        self.kfdb.add(k, frame.desc_i8, frame.valid)
         self.ref_kf = k
         self.last_kf_frame_id = frame.frame_id
         self.velocity = None
@@ -661,6 +680,10 @@ class Tracker:
                 lm_hit, feat_hit = lm_hit2, feat_hit2
         frame.lm_idx[feat_hit] = lm_hit
         n_in = self._pose_optimize(frame)
+        log.debug(
+            "frame %d stage1: %d last-lms, %d hits, %d inliers",
+            frame.frame_id, len(last_lms), len(lm_hit), n_in,
+        )
 
         if n_in < self.cfg.min_track_inliers:
             # Fallback: reference-KF matching (TrackReferenceKeyFrame).
@@ -690,6 +713,10 @@ class Tracker:
         lm_hit, feat_hit = self._match_landmarks_into_frame(frame, local_lms, 6.0)
         frame.lm_idx[feat_hit] = lm_hit
         n_in = self._pose_optimize(frame)
+        log.debug(
+            "frame %d stage2: %d local-lms, %d new hits, %d inliers",
+            frame.frame_id, len(local_lms), len(lm_hit), n_in,
+        )
 
         if n_in < self.cfg.min_localmap_inliers:
             self._set_lost(frame)
@@ -731,8 +758,16 @@ class Tracker:
         if len(cand) == 0:
             self.last = frame
             return False
-        # Most recent keyframes first.
-        cand = cand[np.argsort(-m.kf_frame_id[cand])][:5]
+        # Keyframe-database candidates by place signature
+        # (DetectRelocalizationCandidates); recency as fallback.
+        hist = self.kfdb.histogram(frame.desc_i8, frame.valid)
+        if hist is not None:
+            db_cand, _ = self.kfdb.query(hist, n_best=5, min_score=0.02)
+        else:
+            db_cand = np.zeros(0, np.int64)
+        recency = cand[np.argsort(-m.kf_frame_id[cand])][:5]
+        cand = list(dict.fromkeys(db_cand.tolist() + recency.tolist()))
+        cand = np.asarray([c for c in cand if m.kf_valid[c]])[:8]
         for k in cand:
             ref_lm = m.kf_lm_idx[k]
             idx, ok = match_bow_like(
@@ -845,6 +880,13 @@ class Tracker:
         # Local BA over the covisible window.
         window = [k] + [int(x) for x in neigh[: self.cfg.ba_kf_cap - 1]]
         self._local_ba(window)
+
+        # Place recognition: loop detection/correction, then register the
+        # keyframe in the database (LoopClosing::InsertKeyFrame handoff).
+        if self.loop_closer is not None:
+            self.loop_closer.process_keyframe(k)
+        else:
+            self.kfdb.add(k, frame.desc_i8, frame.valid)
 
         log.info(
             "KF %d inserted (frame %d): %d new lms, map: %d KFs / %d lms",

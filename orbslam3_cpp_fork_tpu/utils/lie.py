@@ -54,14 +54,20 @@ def _theta(w: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def so3_exp(w: jax.Array) -> jax.Array:
-    """Rodrigues formula: (...,3) tangent -> (...,3,3) rotation."""
+    """Rodrigues formula: (...,3) tangent -> (...,3,3) rotation.
+
+    Taylor branches use theta^2 = sum(w*w) directly (NOT theta**2 with
+    theta from sqrt): sqrt has a NaN tangent at 0, and 0 * NaN = NaN
+    would poison forward-mode autodiff through the small-angle branch
+    even though jnp.where selects it."""
     theta, safe = _theta(w)
+    theta2 = jnp.sum(w * w, axis=-1)
     W = hat(w)
     WW = W @ W
     small = theta < 1e-4
     # sin(t)/t and (1-cos(t))/t^2 with Taylor fallbacks.
-    a = jnp.where(small, 1.0 - theta**2 / 6.0, jnp.sin(safe) / safe)
-    b = jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(safe)) / safe**2)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(safe) / safe)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe)) / safe**2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * WW
 
@@ -88,12 +94,13 @@ def so3_log(R: jax.Array) -> jax.Array:
 def so3_right_jacobian(w: jax.Array) -> jax.Array:
     """Jr(w): d/d(dw) log(exp(w) exp(dw)) at dw=0 (src/ImuTypes.cc:51-63)."""
     theta, safe = _theta(w)
+    theta2 = jnp.sum(w * w, axis=-1)
     W = hat(w)
     WW = W @ W
     small = theta < 1e-4
-    b = jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(safe)) / safe**2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe)) / safe**2)
     c = jnp.where(
-        small, 1.0 / 6.0 - theta**2 / 120.0, (safe - jnp.sin(safe)) / safe**3
+        small, 1.0 / 6.0 - theta2 / 120.0, (safe - jnp.sin(safe)) / safe**3
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye - b[..., None, None] * W + c[..., None, None] * WW
@@ -102,13 +109,14 @@ def so3_right_jacobian(w: jax.Array) -> jax.Array:
 def so3_right_jacobian_inv(w: jax.Array) -> jax.Array:
     """Jr(w)^-1 (src/ImuTypes.cc:65-75)."""
     theta, safe = _theta(w)
+    theta2 = jnp.sum(w * w, axis=-1)
     W = hat(w)
     WW = W @ W
     small = theta < 1e-4
     # 1/theta^2 - (1+cos)/(2 theta sin)
     cot_term = jnp.where(
         small,
-        1.0 / 12.0 + theta**2 / 720.0,
+        1.0 / 12.0 + theta2 / 720.0,
         1.0 / safe**2 - (1.0 + jnp.cos(safe)) / (2.0 * safe * jnp.sin(jnp.where(jnp.abs(jnp.sin(safe)) < _EPS, 1.0, safe))),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
