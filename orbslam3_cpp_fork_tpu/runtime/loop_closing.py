@@ -56,100 +56,157 @@ class LoopConfig:
     fix_scale: bool = False  # stereo/RGB-D/inertial
 
 
+MAX_MAPS = 16  # gid namespace width shared with the Tracker
+
+
 class LoopCloser:
     def __init__(
         self,
-        m: MapState,
+        atlas,
         kfdb: KeyFrameDatabase,
         fx: float, fy: float, cx: float, cy: float,
         cfg: LoopConfig = LoopConfig(),
     ):
-        self.m = m
+        self.atlas = atlas
         self.kfdb = kfdb
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.cfg = cfg
         self.last_loop_kf = -10**9
         self.pending: tuple[int, int] | None = None  # (kf, candidate)
         self.n_loops_closed = 0
-        self.loop_edges: list[tuple[int, int, tuple]] = []  # (i, j, S_ji)
+        self.n_merges = 0
+        # Persisted loop edges: (map_id, i, j, (s, R, t)).
+        self.loop_edges: list[tuple[int, int, int, tuple]] = []
         self._rng = np.random.default_rng(7)
+
+    @property
+    def m(self) -> MapState:
+        return self.atlas.active
+
+    def _gid(self, k: int, map_id: int | None = None) -> int:
+        mid = self.m.map_id if map_id is None else map_id
+        return mid % MAX_MAPS * self.m.cfg.max_keyframes + k
+
+    def on_merge(self, src_map_id: int, dst_map_id: int, kf_remap: dict):
+        """Remap persisted loop edges of a merged-away map."""
+        edges = []
+        for (mid, i, j, S) in self.loop_edges:
+            if mid == src_map_id:
+                if i in kf_remap and j in kf_remap:
+                    edges.append((dst_map_id, kf_remap[i], kf_remap[j], S))
+            else:
+                edges.append((mid, i, j, S))
+        self.loop_edges = edges
 
     # ------------------------------------------------------------------
 
-    def _kf_bits(self, k: int) -> np.ndarray:
+    def _kf_bits(self, k: int, m: MapState | None = None) -> np.ndarray:
+        m = self.m if m is None else m
         return np.unpackbits(
-            self.m.kf_desc[k].view(np.uint8), axis=-1, bitorder="little"
+            m.kf_desc[k].view(np.uint8), axis=-1, bitorder="little"
         ).astype(np.int8)
 
     def _sigma2(self, level: np.ndarray) -> np.ndarray:
         return LEVEL_SIGMA2[np.clip(level, 0, N_LEVELS - 1)]
 
-    def process_keyframe(self, k: int) -> bool:
-        """Detect + (maybe) correct a loop at the new keyframe k. The
-        keyframe is added to the database afterwards either way (the
-        reference adds mpCurrentKF to the DB at the end of the detection
-        attempt, src/LoopClosing.cc:563)."""
+    def process_keyframe(self, k: int):
+        """Detect + (maybe) correct a loop at the new keyframe k, or
+        propose an Atlas map merge. Returns None, or a merge proposal
+        (dst_map_idx, candidate_kf, (s, R, t)) for the Tracker to
+        execute. The keyframe is added to the database afterwards either
+        way (the reference adds mpCurrentKF to the DB at the end of the
+        detection attempt, src/LoopClosing.cc:563)."""
         m = self.m
         bits = self._kf_bits(k)
-        closed = False
+        proposal = None
         try:
             if (
                 m.n_keyframes() >= self.cfg.min_kfs
                 and k - self.last_loop_kf > self.cfg.kf_gap_after_loop
             ):
-                closed = self._detect_and_correct(k, bits)
+                proposal = self._detect_and_correct(k, bits)
         finally:
-            self.kfdb.add(k, bits, m.kf_feat_valid[k])
-        return closed
+            self.kfdb.add(self._gid(k), bits, m.kf_feat_valid[k])
+        return proposal
 
     # ------------------------------------------------------------------
     # Detection
     # ------------------------------------------------------------------
 
-    def _detect_and_correct(self, k: int, bits: np.ndarray) -> bool:
+    def _detect_and_correct(self, k: int, bits: np.ndarray):
+        """Returns a merge proposal (dst_map_idx, c, (s,R,t)) or None.
+        Same-map detections are corrected in place (loop closing);
+        other-map detections become merge proposals
+        (the loop-vs-merge split of NewDetectCommonRegions :497)."""
         m = self.m
+        max_k = m.cfg.max_keyframes
         # Exclusion set: covisible group of k (any shared landmark) +
-        # temporally recent keyframes.
+        # temporally recent keyframes (gid space: active map only).
         w = m.covisibility_weights(k)
-        exclude = np.nonzero(w > 0)[0].tolist() + [k]
+        exclude = [self._gid(int(x)) for x in np.nonzero(w > 0)[0]] + [self._gid(k)]
         recent = np.nonzero(
             m.kf_valid & (m.kf_frame_id > m.kf_frame_id[k] - 3 * 30)
         )[0]
-        exclude += recent.tolist()
+        exclude += [self._gid(int(x)) for x in recent]
         hist = self.kfdb.histogram(bits, m.kf_feat_valid[k])
         if hist is None:
-            return False
-        cands, scores = self.kfdb.query(hist, np.asarray(exclude), n_best=3)
-        for c, sc in zip(cands, scores):
-            res = self._validate_candidate(k, int(c))
+            return None
+        gids, scores = self.kfdb.query(hist, np.asarray(exclude), n_best=3)
+        maps_by_ns = {mm.map_id % MAX_MAPS: (i, mm) for i, mm in enumerate(self.atlas.maps)}
+        for g, sc in zip(gids, scores):
+            ns, c = int(g) // max_k, int(g) % max_k
+            if ns not in maps_by_ns:
+                continue
+            c_idx, m_c = maps_by_ns[ns]
+            if not m_c.kf_valid[c]:
+                continue
+            res = self._validate_candidate(k, c, m_c)
             if res is None:
                 continue
             s, R, t, n_proj = res
-            strong = n_proj >= self.cfg.min_proj_strong
-            confirmed = self.pending is not None and self.pending[1] == int(c)
-            if strong or (confirmed and n_proj >= self.cfg.min_proj_weak):
-                self._correct_loop(k, int(c), s, R, t)
-                self.pending = None
-                return True
-            if n_proj >= self.cfg.min_proj_weak:
-                self.pending = (k, int(c))
-                return False
+            if m_c is m:
+                strong = n_proj >= self.cfg.min_proj_strong
+                confirmed = self.pending is not None and self.pending[1] == int(g)
+                if strong or (confirmed and n_proj >= self.cfg.min_proj_weak):
+                    self._correct_loop(k, c, s, R, t)
+                    self.pending = None
+                    return None
+                if n_proj >= self.cfg.min_proj_weak:
+                    self.pending = (k, int(g))
+                    return None
+            else:
+                # Cross-map: propose an Atlas merge.
+                strong = n_proj >= self.cfg.min_proj_strong
+                confirmed = self.pending is not None and self.pending[1] == int(g)
+                if strong or (confirmed and n_proj >= self.cfg.min_proj_weak):
+                    self.pending = None
+                    self.n_merges += 1
+                    log.info(
+                        "map-merge detected: KF %d (map %d) -> KF %d (map %d), %d proj",
+                        k, m.map_id, c, m_c.map_id, n_proj,
+                    )
+                    return (c_idx, c, (s, R, t))
+                if n_proj >= self.cfg.min_proj_weak:
+                    self.pending = (k, int(g))
+                    return None
         self.pending = None
-        return False
+        return None
 
-    def _validate_candidate(self, k: int, c: int):
+    def _validate_candidate(self, k: int, c: int, m_c: MapState | None = None):
         """Geometric validation; returns (s, R, t, n_proj) for S_kc
-        (candidate-camera -> current-camera Sim3) or None."""
+        (candidate-camera -> current-camera Sim3) or None. The candidate
+        may live in another Atlas map (merge detection)."""
         m = self.m
+        m_c = m if m_c is None else m_c
         cfg = self.cfg
         lm_k = m.kf_lm_idx[k]
-        lm_c = m.kf_lm_idx[c]
+        lm_c = m_c.kf_lm_idx[c]
         bound_k = m.kf_feat_valid[k] & (lm_k >= 0)
-        bound_c = m.kf_feat_valid[c] & (lm_c >= 0)
+        bound_c = m_c.kf_feat_valid[c] & (lm_c >= 0)
         if bound_k.sum() < cfg.min_bow_matches or bound_c.sum() < cfg.min_bow_matches:
             return None
         dist = matching.hamming_matrix(
-            jnp.asarray(self._kf_bits(k)), jnp.asarray(self._kf_bits(c))
+            jnp.asarray(self._kf_bits(k)), jnp.asarray(self._kf_bits(c, m_c))
         )
         idx, ok = matching.match_nn(
             dist, jnp.asarray(bound_k), jnp.asarray(bound_c),
@@ -157,7 +214,7 @@ class LoopCloser:
         )
         ok = np.asarray(
             matching.rotation_consistency(
-                jnp.asarray(m.kf_angle[k]), jnp.asarray(m.kf_angle[c]),
+                jnp.asarray(m.kf_angle[k]), jnp.asarray(m_c.kf_angle[c]),
                 idx, ok,
             )
         )
@@ -166,11 +223,12 @@ class LoopCloser:
         if len(sel) < cfg.min_bow_matches:
             return None
 
-        # Matched landmark positions in each camera frame.
+        # Matched landmark positions in each camera frame (each from its
+        # own map's coordinates).
         Xk = m.lm_pos[lm_k[sel]]
-        Xc = m.lm_pos[lm_c[idx[sel]]]
+        Xc = m_c.lm_pos[lm_c[idx[sel]]]
         pc_k = Xk @ m.kf_R[k].T + m.kf_t[k]
-        pc_c = Xc @ m.kf_R[c].T + m.kf_t[c]
+        pc_c = Xc @ m_c.kf_R[c].T + m_c.kf_t[c]
 
         import jax
 
@@ -184,14 +242,14 @@ class LoopCloser:
 
         # GN refinement with bidirectional reprojection.
         uv_k = m.kf_xy[k, sel] - [self.cx, self.cy]
-        uv_c = m.kf_xy[c, idx[sel]] - [self.cx, self.cy]
+        uv_c = m_c.kf_xy[c, idx[sel]] - [self.cx, self.cy]
         res = sim3_opt.optimize_sim3(
             s0, R0, t0,
             jnp.asarray(pc_k), jnp.asarray(pc_c),
             jnp.asarray(uv_k.astype(np.float32)),
             jnp.asarray(uv_c.astype(np.float32)),
             jnp.asarray(self._sigma2(m.kf_level[k, sel])),
-            jnp.asarray(self._sigma2(m.kf_level[c, idx[sel]])),
+            jnp.asarray(self._sigma2(m_c.kf_level[c, idx[sel]])),
             jnp.ones(len(sel), bool),
             self.fx, self.fy, fix_scale=cfg.fix_scale,
         )
@@ -200,7 +258,7 @@ class LoopCloser:
         s, R, t = float(res.s), np.asarray(res.R), np.asarray(res.t)
 
         # Guided projection: candidate-window landmarks into KF k.
-        n_proj = self._projection_matches(k, c, s, R, t)
+        n_proj = self._projection_matches(k, c, s, R, t, m_c)
         if n_proj < cfg.min_proj_weak:
             return None
         log.info(
@@ -209,25 +267,26 @@ class LoopCloser:
         )
         return s, R, t, n_proj
 
-    def _loop_window_landmarks(self, c: int, top: int = 10) -> np.ndarray:
-        m = self.m
+    def _loop_window_landmarks(self, c: int, m_c: MapState | None = None, top: int = 10) -> np.ndarray:
+        m = self.m if m_c is None else m_c
         nb, _ = m.covisible_keyframes(c, min_weight=1, top=top)
         kfs = np.concatenate([[c], nb]).astype(np.int64)
         return m.local_map_landmarks(kfs)
 
-    def _projection_matches(self, k: int, c: int, s, R, t) -> int:
+    def _projection_matches(self, k: int, c: int, s, R, t, m_c: MapState | None = None) -> int:
         """Count matches when projecting the candidate's window landmarks
         into KF k through the corrected pose S_kw = S_kc o S_cw."""
         m = self.m
-        lms = self._loop_window_landmarks(c)
+        m_c = m if m_c is None else m_c
+        lms = self._loop_window_landmarks(c, m_c)
         if len(lms) == 0:
             return 0
         # Corrected k pose as Sim3 (scale folded into translation later).
         s_kw, R_kw, t_kw = [np.asarray(x) for x in lie.sim3_mul(
             jnp.float32(s), jnp.asarray(R), jnp.asarray(t),
-            jnp.float32(1.0), jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c]),
+            jnp.float32(1.0), jnp.asarray(m_c.kf_R[c]), jnp.asarray(m_c.kf_t[c]),
         )]
-        pc = (m.lm_pos[lms] @ R_kw.T) * s_kw + t_kw
+        pc = (m_c.lm_pos[lms] @ R_kw.T) * s_kw + t_kw
         z = pc[:, 2]
         u = self.fx * pc[:, 0] / np.maximum(z, 1e-6) + self.cx
         v = self.fy * pc[:, 1] / np.maximum(z, 1e-6) + self.cy
@@ -235,7 +294,7 @@ class LoopCloser:
         if okp.sum() < 3:
             return 0
         bits = np.unpackbits(
-            m.lm_desc[lms].view(np.uint8), axis=-1, bitorder="little"
+            m_c.lm_desc[lms].view(np.uint8), axis=-1, bitorder="little"
         ).astype(np.int8)
         uv = np.stack([u, v], 1).astype(np.float32)
         idx, mok = matching.search_by_projection(
@@ -336,7 +395,8 @@ class LoopCloser:
             np.ones(m.cfg.max_keyframes, np.float32), m.kf_R, m.kf_t, c, k
         )
         self.loop_edges.append(
-            (c, k, (float(np.asarray(sji)), np.asarray(Rji), np.asarray(tji)))
+            (m.map_id, c, k,
+             (float(np.asarray(sji)), np.asarray(Rji), np.asarray(tji)))
         )
 
     def _search_and_fuse(self, window: np.ndarray, c: int):
@@ -454,9 +514,9 @@ class LoopCloser:
                 a, b = int(order[ii]), int(order[jj])
                 if Wm[a, b] >= self.cfg.covis_edge_weight:
                     add_edge_snap(a, b)
-        # Previous loop edges.
-        for (a, b, (sm, Rm, tm)) in self.loop_edges:
-            if a in slot and b in slot:
+        # Previous loop edges (of this map only).
+        for (mid, a, b, (sm, Rm, tm)) in self.loop_edges:
+            if mid == m.map_id and a in slot and b in slot:
                 ei.append(slot[a]); ej.append(slot[b])
                 es.append(sm); eR.append(Rm); et.append(tm); ew.append(1.0)
         # The new loop edge: measured from the corrected relative pose

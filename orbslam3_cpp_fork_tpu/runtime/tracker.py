@@ -266,7 +266,9 @@ class Tracker:
         self.cy = float(self.K[1, 2])
         # Feature capacity follows the extractor budget.
         cfg.map_cfg.n_features = cfg.orb.n_features
-        self.map = MapState(cfg.map_cfg)
+        from ..models.atlas import Atlas
+
+        self.atlas = Atlas(cfg.map_cfg)
         self.state = TrackState.NO_IMAGES_YET
         self.last: FrameData | None = None
         self.init_ref: FrameData | None = None
@@ -275,24 +277,41 @@ class Tracker:
         self.last_kf_frame_id: int = -1
         self.frame_id: int = 0
         self.rng_key = jax.random.PRNGKey(0)
-        # Trajectory bookkeeping: (frame_id, timestamp, ref_kf, R_cr, t_cr, lost)
+        # Trajectory bookkeeping: (frame_id, timestamp, map_id, ref_kf, R_cr, t_cr)
         self.trajectory: list[tuple] = []
         self.n_kf_inserted = 0
-        # Place recognition: keyframe database (always on: relocalization
-        # uses it) + optional loop closer.
+        # Frames spent LOST before spawning a new Atlas map
+        # (Tracking::CreateMapInAtlas on unrecoverable loss).
+        self.lost_frames = 0
+        self.reloc_patience = 12
+        # kf alias across map merges: (map_id, kf) -> (map_id', kf').
+        self._kf_alias: dict[tuple[int, int], tuple[int, int]] = {}
+        # Place recognition: one GLOBAL keyframe database spanning all
+        # Atlas maps (the reference's KeyFrameDatabase is shared too) —
+        # rows addressed by map_id * max_keyframes + kf.
         from .keyframe_database import KeyFrameDatabase
         from .loop_closing import LoopCloser, LoopConfig
 
-        self.kfdb = KeyFrameDatabase(cfg.map_cfg.max_keyframes)
+        self.max_maps = 16
+        self.kfdb = KeyFrameDatabase(self.max_maps * cfg.map_cfg.max_keyframes)
         fix_scale = cfg.sensor != Sensor.MONOCULAR
         self.loop_closer = (
             LoopCloser(
-                self.map, self.kfdb, self.fx, self.fy, self.cx, self.cy,
+                self.atlas, self.kfdb, self.fx, self.fy, self.cx, self.cy,
                 LoopConfig(fix_scale=fix_scale),
             )
             if cfg.enable_loop_closing
             else None
         )
+
+    @property
+    def map(self) -> MapState:
+        return self.atlas.active
+
+    def _gid(self, k: int, map_id: int | None = None) -> int:
+        """Global keyframe-database row for (map, kf slot)."""
+        mid = self.map.map_id if map_id is None else map_id
+        return mid % self.max_maps * self.cfg.map_cfg.max_keyframes + k
 
     # ------------------------------------------------------------------
 
@@ -399,7 +418,12 @@ class Tracker:
             else:
                 self._initialize_from_depth(frame)
         elif self.state in (TrackState.LOST, TrackState.RECENTLY_LOST):
-            self._relocalize(frame)
+            if not self._relocalize(frame):
+                self.lost_frames += 1
+                if self.lost_frames > self.reloc_patience:
+                    self._spawn_or_reset_map()
+            else:
+                self.lost_frames = 0
         else:
             self._track_frame(frame)
         self.frame_id += 1
@@ -410,6 +434,95 @@ class Tracker:
             T[:3, 3] = frame.t
             return T
         return None
+
+    def _execute_merge(self, k: int, frame: FrameData, dst_idx: int, c: int, S_kc):
+        """Weld the active map into Atlas map `dst_idx` through the
+        validated Sim3 S_kc (candidate-cam -> current-cam), then fuse
+        duplicates and run a welding BA (LoopClosing::MergeLocal,
+        src/LoopClosing.cc:1356)."""
+        atlas = self.atlas
+        src = atlas.active
+        dst = atlas.maps[dst_idx]
+        s, R, t = S_kc
+        # S_k_w1 = S_kc o T_c_w1 ; M (w1 -> w2) = T_k_w2^-1 o S_k_w1.
+        S_k_w1 = lie.sim3_mul(
+            jnp.float32(s), jnp.asarray(R), jnp.asarray(t),
+            jnp.float32(1.0), jnp.asarray(dst.kf_R[c]), jnp.asarray(dst.kf_t[c]),
+        )
+        Tk_inv = lie.sim3_inv(
+            jnp.float32(1.0), jnp.asarray(src.kf_R[k]), jnp.asarray(src.kf_t[k])
+        )
+        sM, RM, tM = [np.asarray(x) for x in lie.sim3_mul(*Tk_inv, *S_k_w1)]
+        src_idx = atlas.active_idx
+        src_map_id = src.map_id
+        kf_remap, lm_remap = atlas.merge_into(dst_idx, src_idx, (float(sM), RM, tM))
+
+        # Alias bookkeeping for trajectory export + database rows.
+        for k_old, k_new in kf_remap.items():
+            self._kf_alias[(src_map_id, k_old)] = (dst.map_id, k_new)
+            self.kfdb.erase(self._gid(k_old, src_map_id))
+        for k_new in kf_remap.values():
+            bits = np.unpackbits(
+                dst.kf_desc[k_new].view(np.uint8), axis=-1, bitorder="little"
+            ).astype(np.int8)
+            self.kfdb.add(self._gid(k_new, dst.map_id), bits, dst.kf_feat_valid[k_new])
+
+        # Re-anchor the live tracking state into the destination map.
+        k_new = kf_remap[k]
+        self.ref_kf = k_new
+        lm_lut = np.full(self.cfg.map_cfg.max_landmarks, -1, np.int32)
+        for a, b in lm_remap.items():
+            lm_lut[a] = b
+        bound = frame.lm_idx >= 0
+        frame.lm_idx[bound] = lm_lut[frame.lm_idx[bound]]
+        # Frame pose: T_new = T_old o M (then SE3 via /s).
+        frame.R, frame.t = (
+            (frame.R @ RM).astype(np.float32),
+            ((frame.R @ tM + frame.t) / sM).astype(np.float32),
+        )
+        if self.velocity is not None:
+            Rv, tv = self.velocity
+            self.velocity = (Rv, (tv / sM).astype(np.float32))
+        if self.loop_closer is not None:
+            self.loop_closer.on_merge(src_map_id, dst.map_id, kf_remap)
+
+        # Fuse duplicates around the weld + welding BA (fixing the
+        # matched-map side as gauge).
+        nb, _ = dst.covisible_keyframes(k_new, min_weight=1, top=10)
+        window = np.concatenate([[k_new], nb]).astype(np.int64)
+        if self.loop_closer is not None:
+            self.loop_closer._search_and_fuse(window, c)
+        self._local_ba([int(x) for x in window], fix=[c])
+        log.info(
+            "map merge complete: now tracking in map %d (%d KFs, %d lms)",
+            dst.map_id, dst.n_keyframes(), dst.n_landmarks(),
+        )
+
+    def _spawn_or_reset_map(self):
+        """Unrecoverable loss: small maps are discarded and rebuilt
+        (Tracking::ResetActiveMap, src/Tracking.cc:3672); established maps
+        are kept in the Atlas and a fresh one is started
+        (CreateMapInAtlas, :2543) — later re-anchored by map merge."""
+        self.lost_frames = 0
+        m = self.map
+        if m.n_keyframes() < 10:
+            log.warning("resetting active map (%d KFs)", m.n_keyframes())
+            for k in np.nonzero(m.kf_valid)[0]:
+                self.kfdb.erase(self._gid(int(k)))
+            self.atlas.maps[self.atlas.active_idx] = MapState(
+                self.cfg.map_cfg, map_id=m.map_id
+            )
+        else:
+            log.warning(
+                "spawning new Atlas map (keeping map %d: %d KFs)",
+                m.map_id, m.n_keyframes(),
+            )
+            self.atlas.create_new_map()
+        self.state = TrackState.NO_IMAGES_YET
+        self.init_ref = None
+        self.velocity = None
+        self.ref_kf = -1
+        self.n_kf_inserted = 0
 
     # ------------------------------------------------------------------
     # Initialization (MonocularInitialization, src/Tracking.cc:2341-2412)
@@ -493,8 +606,8 @@ class Tracker:
         )
         m.update_landmark_stats(lm_ids)
         frame.lm_idx = cur_lm
-        self.kfdb.add(k1, ref.desc_i8, ref.valid)
-        self.kfdb.add(k2, frame.desc_i8, frame.valid)
+        self.kfdb.add(self._gid(k1), ref.desc_i8, ref.valid)
+        self.kfdb.add(self._gid(k2), frame.desc_i8, frame.valid)
         # Initial BA over both KFs (GlobalBundleAdjustemnt(20) at init).
         self._local_ba([k1, k2], fix=[k1])
         # Re-normalize scale after BA (BA may drift the free gauge).
@@ -555,7 +668,7 @@ class Tracker:
             ur=frame.ur, depth=frame.depth,
         )
         m.update_landmark_stats(lm_ids)
-        self.kfdb.add(k, frame.desc_i8, frame.valid)
+        self.kfdb.add(self._gid(k), frame.desc_i8, frame.valid)
         self.ref_kf = k
         self.last_kf_frame_id = frame.frame_id
         self.velocity = None
@@ -762,11 +875,18 @@ class Tracker:
         # (DetectRelocalizationCandidates); recency as fallback.
         hist = self.kfdb.histogram(frame.desc_i8, frame.valid)
         if hist is not None:
-            db_cand, _ = self.kfdb.query(hist, n_best=5, min_score=0.02)
+            gids, _ = self.kfdb.query(hist, n_best=8, min_score=0.02)
         else:
-            db_cand = np.zeros(0, np.int64)
+            gids = np.zeros(0, np.int64)
+        # Keep only candidates in the ACTIVE map (lost recovery in other
+        # maps happens through Atlas merging, not relocalization).
+        max_k = self.cfg.map_cfg.max_keyframes
+        db_cand = [
+            int(g) % max_k for g in gids
+            if int(g) // max_k == m.map_id % self.max_maps
+        ]
         recency = cand[np.argsort(-m.kf_frame_id[cand])][:5]
-        cand = list(dict.fromkeys(db_cand.tolist() + recency.tolist()))
+        cand = list(dict.fromkeys(db_cand + recency.tolist()))
         cand = np.asarray([c for c in cand if m.kf_valid[c]])[:8]
         for k in cand:
             ref_lm = m.kf_lm_idx[k]
@@ -884,9 +1004,11 @@ class Tracker:
         # Place recognition: loop detection/correction, then register the
         # keyframe in the database (LoopClosing::InsertKeyFrame handoff).
         if self.loop_closer is not None:
-            self.loop_closer.process_keyframe(k)
+            merge = self.loop_closer.process_keyframe(k)
+            if merge is not None:
+                self._execute_merge(k, frame, *merge)
         else:
-            self.kfdb.add(k, frame.desc_i8, frame.valid)
+            self.kfdb.add(self._gid(k), frame.desc_i8, frame.valid)
 
         log.info(
             "KF %d inserted (frame %d): %d new lms, map: %d KFs / %d lms",
@@ -1116,18 +1238,24 @@ class Tracker:
         R_cr = frame.R @ Rr.T
         t_cr = frame.t - R_cr @ tr
         self.trajectory.append(
-            (frame.frame_id, frame.timestamp, k, R_cr.copy(), t_cr.copy())
+            (frame.frame_id, frame.timestamp, self.map.map_id, k,
+             R_cr.copy(), t_cr.copy())
         )
 
     def export_trajectory(self):
         """Return (timestamps, Twc 4x4 array) in world frame, TUM-style
         camera-to-world (SaveTrajectoryTUM semantics, src/System.cc:628)."""
         ts, poses = [], []
-        for fid, t, k, R_cr, t_cr in self.trajectory:
-            if not self.map.kf_valid[k]:
+        maps_by_id = {m.map_id: m for m in self.atlas.maps}
+        for fid, t, map_id, k, R_cr, t_cr in self.trajectory:
+            # Resolve keyframe aliases across Atlas merges.
+            while (map_id, k) in self._kf_alias:
+                map_id, k = self._kf_alias[(map_id, k)]
+            m = maps_by_id.get(map_id)
+            if m is None or not m.kf_valid[k]:
                 continue
-            R_cw = R_cr @ self.map.kf_R[k]
-            t_cw = R_cr @ self.map.kf_t[k] + t_cr
+            R_cw = R_cr @ m.kf_R[k]
+            t_cw = R_cr @ m.kf_t[k] + t_cr
             T = np.eye(4)
             T[:3, :3] = R_cw.T
             T[:3, 3] = -R_cw.T @ t_cw
