@@ -123,6 +123,56 @@ def stereo_reprojection(
     return r, J_pose, J_point, z
 
 
+def stereo_reprojection_body(
+    Rwb: jax.Array,
+    twb: jax.Array,
+    Xw: jax.Array,
+    uvr: jax.Array,
+    Rcb: jax.Array,
+    tcb: jax.Array,
+    fx,
+    fy,
+    bf,
+):
+    """Reprojection residual parameterized by the world->body pose used in
+    visual-inertial optimization (reference EdgeMono/EdgeStereo over
+    VertexPose, include/G2oTypes.h:366-528).
+
+    The body state uses the reference's ImuCamPose::Update convention:
+    Rwb <- Rwb Exp(dphi), twb <- twb + Rwb dp (right-multiplicative).
+    Rcb/tcb map body->camera coordinates (pc = Rcb x_b + tcb).
+
+    Returns r (N,3), J_pose (N,3,6) wrt [dphi, dp], J_point (N,3,3), z.
+    Mono rows: caller masks the third row.
+    """
+    y = jnp.einsum("...ji,...j->...i", Rwb, Xw - twb)  # body coords (N,3)
+    pc = jnp.einsum("ij,...j->...i", Rcb, y) + tcb
+    x, yy, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    z_safe = jnp.where(z < 1e-6, 1e-6, z)
+    iz = 1.0 / z_safe
+    iz2 = iz * iz
+    u = fx * x * iz
+    v = fy * yy * iz
+    ur = u - bf * iz
+    r = jnp.stack([u, v, ur], axis=-1) - uvr
+    zero = jnp.zeros_like(x)
+    Jproj = jnp.stack(
+        [
+            jnp.stack([fx * iz, zero, -fx * x * iz2], axis=-1),
+            jnp.stack([zero, fy * iz, -fy * yy * iz2], axis=-1),
+            jnp.stack([fx * iz, zero, (-fx * x + bf) * iz2], axis=-1),
+        ],
+        axis=-2,
+    )  # (N,3,3)
+    # dpc/dphi = Rcb hat(y); dpc/dp = -Rcb; dpc/dXw = Rcb Rwb^T.
+    dpc_dphi = jnp.einsum("ij,...jk->...ik", Rcb, lie.hat(y))
+    dpc_dp = jnp.broadcast_to(-Rcb, (*pc.shape[:-1], 3, 3))
+    J_pose = jnp.concatenate([Jproj @ dpc_dphi, Jproj @ dpc_dp], axis=-1)
+    Rcw = jnp.einsum("ij,...kj->...ik", Rcb, Rwb)
+    J_point = Jproj @ jnp.broadcast_to(Rcw, (*pc.shape[:-1], 3, 3))
+    return r, J_pose, J_point, z
+
+
 def inertial_residual(
     Rwb1, p1, v1, bg, ba, Rwb2, p2, v2, pre: imu_ops.Preintegrated
 ):
