@@ -25,9 +25,11 @@ log = logging.getLogger("orbslam3_tpu.atlas")
 
 
 class Atlas:
-    def __init__(self, cfg: MapConfig):
+    def __init__(self, cfg: MapConfig, imu_calib=None):
         self.cfg = cfg
+        self.imu_calib = imu_calib
         self.maps: list[MapState] = [MapState(cfg, map_id=0)]
+        self.maps[0]._imu_calib = imu_calib
         self.active_idx = 0
         self._next_map_id = 1
 
@@ -39,6 +41,7 @@ class Atlas:
         """CreateNewMap (src/Atlas.cc:53): keep the old map, activate a
         fresh one."""
         m = MapState(self.cfg, map_id=self._next_map_id)
+        m._imu_calib = self.imu_calib
         self._next_map_id += 1
         self.maps.append(m)
         self.active_idx = len(self.maps) - 1
@@ -118,6 +121,33 @@ class Atlas:
                 ur=src.kf_ur[k], depth=src.kf_depth[k],
             )
             kf_remap[int(k)] = int(knew)
+
+        # Inertial state rides along: velocities rotate into the dst world
+        # and rescale (v_dst = R^T v_src / s); the temporal chain and
+        # preintegrations transplant unchanged (body-frame quantities).
+        dst._imu_calib = dst._imu_calib or src._imu_calib
+        for k, knew in kf_remap.items():
+            dst.kf_vel[knew] = (src.kf_vel[k] @ R) / s
+            dst.kf_bg[knew] = src.kf_bg[k]
+            dst.kf_ba[knew] = src.kf_ba[k]
+            p = int(src.kf_prev[k])
+            n = int(src.kf_next[k])
+            dst.kf_prev[knew] = kf_remap.get(p, -1) if p >= 0 else -1
+            dst.kf_next[knew] = kf_remap.get(n, -1) if n >= 0 else -1
+            dst.kf_pre_valid[knew] = src.kf_pre_valid[k]
+            dst.kf_pre_dR[knew] = src.kf_pre_dR[k]
+            dst.kf_pre_dV[knew] = src.kf_pre_dV[k]
+            dst.kf_pre_dP[knew] = src.kf_pre_dP[k]
+            dst.kf_pre_C[knew] = src.kf_pre_C[k]
+            dst.kf_pre_J[knew] = src.kf_pre_J[k]
+            dst.kf_pre_dT[knew] = src.kf_pre_dT[k]
+            dst.kf_pre_bias[knew] = src.kf_pre_bias[k]
+            dst.kf_imu[knew] = src.kf_imu[k]
+            dst.kf_imu_n[knew] = src.kf_imu_n[k]
+
+        dst.imu_stage = max(dst.imu_stage, src.imu_stage)
+        if dst.imu_t0 < 0:
+            dst.imu_t0 = src.imu_t0
 
         self.active_idx = dst_idx
         self.maps.pop(src_idx)

@@ -38,6 +38,9 @@ class MapConfig:
     max_keyframes: int = 256
     max_landmarks: int = 16384
     n_features: int = 1000  # per-keyframe feature capacity
+    # Raw IMU samples kept per keyframe interval (for re-integration after
+    # bias updates, like IMU::Preintegrated's stored mvMeasurements).
+    imu_cap: int = 512
 
 
 class MapState:
@@ -65,6 +68,28 @@ class MapState:
         self.kf_ur = np.full((K, N), -1.0, np.float32)
         self.kf_depth = np.full((K, N), -1.0, np.float32)
 
+        # Inertial per-keyframe state (KeyFrame mVw/mImuBias + mPrevKF
+        # chain, include/KeyFrame.h). kf_prev/next form the temporal chain
+        # used by LocalInertialBA's sliding window and KF culling.
+        self.kf_vel = np.zeros((K, 3), np.float32)  # world-frame body vel
+        self.kf_bg = np.zeros((K, 3), np.float32)
+        self.kf_ba = np.zeros((K, 3), np.float32)
+        self.kf_prev = np.full(K, -1, np.int32)
+        self.kf_next = np.full(K, -1, np.int32)
+        # Preintegration from kf_prev[k] to k (IMU::Preintegrated fields,
+        # include/ImuTypes.h:209-247), SoA so windows stack to jax pytrees.
+        self.kf_pre_valid = np.zeros(K, bool)
+        self.kf_pre_dR = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        self.kf_pre_dV = np.zeros((K, 3), np.float32)
+        self.kf_pre_dP = np.zeros((K, 3), np.float32)
+        self.kf_pre_C = np.zeros((K, 15, 15), np.float32)
+        self.kf_pre_J = np.zeros((K, 5, 3, 3), np.float32)  # JRg,JVg,JVa,JPg,JPa
+        self.kf_pre_dT = np.zeros(K, np.float32)
+        self.kf_pre_bias = np.zeros((K, 6), np.float32)  # [bg, ba] lin. point
+        # Raw measurements for re-integration: [dt, acc(3), gyro(3)].
+        self.kf_imu = np.zeros((K, cfg.imu_cap, 7), np.float32)
+        self.kf_imu_n = np.zeros(K, np.int32)
+
         # Landmarks.
         self.lm_valid = np.zeros(L, bool)
         self.lm_pos = np.zeros((L, 3), np.float32)
@@ -84,6 +109,13 @@ class MapState:
 
         self._next_kf_slot = 0
         self._next_lm_slot = 0
+        # IMU calibration (ops.imu.ImuCalib) attached by the tracker for
+        # re-integration; None for visual-only maps.
+        self._imu_calib = None
+        # IMU init ladder progress for this map (Map::SetInertialSensor /
+        # SetIniertialBA1/BA2 flags): 0 none, 1 init, 2 VIBA1, 3 VIBA2.
+        self.imu_stage = 0
+        self.imu_t0 = -1.0  # timestamp of first KF in the temporal chain
 
     # ------------------------------------------------------------------
     # Slot allocation (free-list compaction: invalid slots are reused).
@@ -144,7 +176,29 @@ class MapState:
 
     def remove_keyframe(self, k: int):
         """KeyFrame::SetBadFlag equivalent (no spanning tree needed: poses
-        are absolute, trajectory export keeps its own per-frame record)."""
+        are absolute, trajectory export keeps its own per-frame record).
+        Repairs the inertial temporal chain by splicing k's raw IMU buffer
+        into its successor (IMU::Preintegrated::MergePrevious,
+        src/ImuTypes.cc:263)."""
+        p, n = int(self.kf_prev[k]), int(self.kf_next[k])
+        if n >= 0:
+            if self.kf_pre_valid[k] and self.kf_pre_valid[n]:
+                cap = self.cfg.imu_cap
+                merged = np.concatenate(
+                    [
+                        self.kf_imu[k, : self.kf_imu_n[k]],
+                        self.kf_imu[n, : self.kf_imu_n[n]],
+                    ]
+                )[-cap:]
+                self.kf_imu[n, : len(merged)] = merged
+                self.kf_imu_n[n] = len(merged)
+                self._reintegrate(n)
+            self.kf_prev[n] = p
+        if p >= 0:
+            self.kf_next[p] = n
+        self.kf_prev[k] = self.kf_next[k] = -1
+        self.kf_pre_valid[k] = False
+        self.kf_imu_n[k] = 0
         seen = self.kf_lm_idx[k]
         seen = seen[seen >= 0]
         self.lm_obs_count[seen] -= 1
@@ -152,6 +206,119 @@ class MapState:
         self.kf_feat_valid[k] = False
         self.kf_lm_idx[k] = -1
         self.obs[k, :] = False
+
+    # ------------------------------------------------------------------
+    # Inertial state
+    # ------------------------------------------------------------------
+
+    def set_keyframe_inertial(
+        self,
+        k: int,
+        vel: np.ndarray,
+        bg: np.ndarray,
+        ba: np.ndarray,
+        prev: int,
+        raw_imu: np.ndarray | None,  # (M,7) [dt, acc, gyro] since prev KF
+    ):
+        """Attach velocity/bias state + the temporal chain link and
+        preintegrate prev->k from the raw buffer."""
+        self.kf_vel[k] = vel
+        self.kf_bg[k] = bg
+        self.kf_ba[k] = ba
+        self.kf_prev[k] = prev
+        if prev >= 0:
+            self.kf_next[prev] = k
+        if raw_imu is not None and prev >= 0 and len(raw_imu):
+            m = min(len(raw_imu), self.cfg.imu_cap)
+            self.kf_imu[k, :m] = raw_imu[-m:]
+            self.kf_imu_n[k] = m
+            self._reintegrate(k, bias=np.concatenate([self.kf_bg[prev], self.kf_ba[prev]]))
+
+    def _reintegrate(self, k: int, bias: np.ndarray | None = None):
+        """Recompute the stored preintegration of interval prev->k from the
+        raw buffer (IMU::Preintegrated::Reintegrate, src/ImuTypes.cc:193)."""
+        import jax.numpy as jnp
+
+        from ..ops import imu as imu_ops
+
+        if self._imu_calib is None:
+            raise RuntimeError("map has no IMU calibration attached")
+        if bias is None:
+            bias = self.kf_pre_bias[k]
+        n = int(self.kf_imu_n[k])
+        cap = self.cfg.imu_cap
+        buf = self.kf_imu[k]
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        pre = imu_ops.preintegrate(
+            jnp.asarray(buf[:, 1:4]), jnp.asarray(buf[:, 4:7]),
+            jnp.asarray(buf[:, 0]), jnp.asarray(valid), self._imu_calib,
+            jnp.asarray(bias[:3]), jnp.asarray(bias[3:]),
+        )
+        self.store_preint(k, pre)
+
+    def store_preint(self, k: int, pre):
+        """Store a (host or device) Preintegrated into the SoA slots."""
+        self.kf_pre_valid[k] = True
+        self.kf_pre_dR[k] = np.asarray(pre.dR)
+        self.kf_pre_dV[k] = np.asarray(pre.dV)
+        self.kf_pre_dP[k] = np.asarray(pre.dP)
+        self.kf_pre_C[k] = np.asarray(pre.C)
+        self.kf_pre_J[k] = np.stack(
+            [np.asarray(pre.JRg), np.asarray(pre.JVg), np.asarray(pre.JVa),
+             np.asarray(pre.JPg), np.asarray(pre.JPa)]
+        )
+        self.kf_pre_dT[k] = float(pre.dT)
+        self.kf_pre_bias[k] = np.concatenate(
+            [np.asarray(pre.bias_gyro), np.asarray(pre.bias_acc)]
+        )
+
+    def stacked_preint(self, ks: np.ndarray):
+        """Preintegrated pytree with leading dim len(ks) (numpy-backed;
+        caller converts with jnp.asarray via jax.tree.map)."""
+        from ..ops import imu as imu_ops
+
+        ks = np.asarray(ks)
+        return imu_ops.Preintegrated(
+            dR=self.kf_pre_dR[ks],
+            dV=self.kf_pre_dV[ks],
+            dP=self.kf_pre_dP[ks],
+            C=self.kf_pre_C[ks],
+            JRg=self.kf_pre_J[ks, 0],
+            JVg=self.kf_pre_J[ks, 1],
+            JVa=self.kf_pre_J[ks, 2],
+            JPg=self.kf_pre_J[ks, 3],
+            JPa=self.kf_pre_J[ks, 4],
+            dT=self.kf_pre_dT[ks],
+            bias_gyro=self.kf_pre_bias[ks, :3],
+            bias_acc=self.kf_pre_bias[ks, 3:],
+        )
+
+    def temporal_window(self, k: int, n: int) -> list[int]:
+        """Last n keyframes ending at k through the kf_prev chain
+        (LocalInertialBA window build, src/Optimizer.cc:2384-2408)."""
+        out = [k]
+        cur = k
+        while len(out) < n and self.kf_prev[cur] >= 0:
+            cur = int(self.kf_prev[cur])
+            if not self.kf_valid[cur]:
+                break
+            out.append(cur)
+        return out
+
+    def apply_gravity_scale(self, Ryw: np.ndarray, s: float, scale_vel: bool = True):
+        """Rotate the world so gravity is -z and rescale to metric
+        (Map::ApplyScaledRotation, src/Map.cc:257-288): X_y = s Ryw X_w,
+        Rcy = Rcw Ryw^T, tcy = s tcw, v_y = s Ryw v_w."""
+        valid_k = self.kf_valid
+        self.kf_R[valid_k] = self.kf_R[valid_k] @ Ryw.T
+        self.kf_t[valid_k] = s * self.kf_t[valid_k]
+        self.kf_vel[valid_k] = (
+            (s if scale_vel else 1.0) * self.kf_vel[valid_k] @ Ryw.T
+        )
+        self.lm_pos[self.lm_valid] = s * self.lm_pos[self.lm_valid] @ Ryw.T
+        self.lm_min_dist[self.lm_valid] *= s
+        self.lm_max_dist[self.lm_valid] *= s
 
     def add_landmarks(
         self,

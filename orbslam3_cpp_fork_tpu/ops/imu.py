@@ -173,11 +173,14 @@ def preintegrate(
     calib: ImuCalib,
     bias_gyro: jax.Array,
     bias_acc: jax.Array,
+    init: Preintegrated | None = None,
 ) -> Preintegrated:
     """Scan over a padded measurement window: acc/gyro (T,3), dts (T,),
     valid (T,). Replaces Tracking::PreintegrateIMU's per-measurement loop
-    (src/Tracking.cc:1615-1711)."""
-    init = Preintegrated.identity(bias_gyro, bias_acc)
+    (src/Tracking.cc:1615-1711). Pass `init` to continue a running
+    preintegration (the incremental mpImuPreintegratedFromLastKF)."""
+    if init is None:
+        init = Preintegrated.identity(bias_gyro, bias_acc)
 
     def step(s, x):
         a, g, dt, v = x

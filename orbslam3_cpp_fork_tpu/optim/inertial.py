@@ -139,11 +139,58 @@ class InertialInitResult:
     cost: jax.Array
 
 
+def linear_inertial_init(Rwb, twb, edge_i, edge_j, pre, eps=1e-9):
+    """Closed-form scale/gravity/velocity seed (VINS-Mono-style linear
+    alignment): given fixed rotations and preintegrated dV/dP, the
+    equations
+
+        v_j - v_i - g dT           = Rwb_i dV
+        s (p_j - p_i) - v_i dT - 0.5 g dT^2 = Rwb_i dP
+
+    are LINEAR in theta = [s, g(3), v_0..v_{K-1}] (v metric). Unweighted
+    least squares is immune to the noise-induced scale collapse of the
+    covariance-whitened GN, so this seeds `inertial_init`. Host-side
+    numpy (problems are tiny). Returns (s, g_w (3,), v (K,3) metric)."""
+    import numpy as np
+
+    Rwb = np.asarray(Rwb)
+    twb = np.asarray(twb)
+    edge_i = np.asarray(edge_i)
+    edge_j = np.asarray(edge_j)
+    dV = np.asarray(pre.dV)
+    dP = np.asarray(pre.dP)
+    dT = np.asarray(pre.dT)
+    K = Rwb.shape[0]
+    E = len(edge_i)
+    n = 1 + 3 + 3 * K
+    A = np.zeros((6 * E, n))
+    b = np.zeros(6 * E)
+    for e in range(E):
+        i, j = int(edge_i[e]), int(edge_j[e])
+        t = float(dT[e])
+        r0 = 6 * e
+        # ev rows.
+        A[r0 : r0 + 3, 4 + 3 * j : 7 + 3 * j] = np.eye(3)
+        A[r0 : r0 + 3, 4 + 3 * i : 7 + 3 * i] = -np.eye(3)
+        A[r0 : r0 + 3, 1:4] = -t * np.eye(3)
+        b[r0 : r0 + 3] = Rwb[i] @ dV[e]
+        # ep rows.
+        A[r0 + 3 : r0 + 6, 0] = twb[j] - twb[i]
+        A[r0 + 3 : r0 + 6, 4 + 3 * i : 7 + 3 * i] = -t * np.eye(3)
+        A[r0 + 3 : r0 + 6, 1:4] = -0.5 * t * t * np.eye(3)
+        b[r0 + 3 : r0 + 6] = Rwb[i] @ dP[e]
+    theta, *_ = np.linalg.lstsq(A, b, rcond=None)
+    s = float(theta[0])
+    g = theta[1:4]
+    v = theta[4:].reshape(K, 3)
+    return s, g, v
+
+
 @partial(jax.jit, static_argnames=("iters", "fix_scale", "fix_gravity"))
 def inertial_init(
     Rwb: jax.Array,  # (K,3,3) fixed body poses
     twb: jax.Array,  # (K,3)
-    vel0: jax.Array,  # (K,3) initial velocity guess
+    vel0: jax.Array,  # (K,3) initial velocity guess (map units)
     edge_i: jax.Array,  # (E,) int32 indices of consecutive-KF edges
     edge_j: jax.Array,  # (E,)
     edge_valid: jax.Array,  # (E,)
@@ -155,19 +202,29 @@ def inertial_init(
     iters: int = 60,
     fix_scale: bool = False,
     fix_gravity: bool = False,
+    log_s0: jax.Array = None,
+    sigma_p: jax.Array = None,
 ) -> InertialInitResult:
     """Estimate gravity direction, metric scale, one shared bias pair and
     per-KF velocities while holding all poses fixed
     (Optimizer::InertialOptimization src/Optimizer.cc:3032; with
     fix_scale+fix_gravity it is the bias/velocity-only overload :3222;
-    called with everything free it also serves ScaleRefinement :3379)."""
+    called with everything free it also serves ScaleRefinement :3379).
+
+    `sigma_p` is a per-KF position-noise floor in MAP units: the ep-row
+    covariance is inflated by 2 (s sigma_p)^2 so the keyframe-pose noise
+    (absent from the preintegration covariance) cannot drive the scale to
+    zero. Seed log_s0 from `linear_inertial_init`."""
     K = Rwb.shape[0]
     if bg0 is None:
         bg0 = jnp.zeros(3, jnp.float32)
     if ba0 is None:
         ba0 = jnp.zeros(3, jnp.float32)
+    if log_s0 is None:
+        log_s0 = jnp.float32(0.0)
+    if sigma_p is None:
+        sigma_p = jnp.float32(0.0)
 
-    Ls = jax.vmap(_edge_sqrt_info)(pre)  # (E,9,9)
     ev_f = edge_valid.astype(jnp.float32)
 
     def unpack(x):
@@ -181,21 +238,32 @@ def inertial_init(
 
     def res_fn(x):
         Rwg, s, bg, ba, v = unpack(x)
+        # Noise floor: rotation 1e-4 rad, position 2(s sigma_p)^2.
+        floor = jnp.concatenate(
+            [
+                jnp.full(3, 1e-8),
+                jnp.full(3, 1e-8),
+                jnp.full(3, 2.0 * (s * sigma_p) ** 2 + 1e-8),
+            ]
+        )
 
-        def one(i, j, p, L, w):
+        def one(i, j, p, w):
             r = _inertial_residual_gs(
                 Rwb[i], twb[i], v[i], Rwb[j], twb[j], v[j], bg, ba, p, Rwg, s
             )
+            C = p.C[:9, :9] + jnp.diag(floor)
+            L = jnp.linalg.cholesky(C)
             return _whiten(L, r) * w
 
-        r9 = jax.vmap(one)(edge_i, edge_j, pre, Ls, ev_f)  # (E,9)
+        r9 = jax.vmap(one, in_axes=(0, 0, 0, 0))(edge_i, edge_j, pre, ev_f)
         r_bg = jnp.sqrt(prior_g) * (bg - 0.0)
         r_ba = jnp.sqrt(prior_a) * (ba - 0.0)
         return jnp.concatenate([r9.reshape(-1), r_bg, r_ba])
 
-    x0 = jnp.concatenate([jnp.zeros(3), bg0, ba0, vel0.reshape(-1)]).astype(
-        jnp.float32
-    )
+    x0 = jnp.concatenate(
+        [jnp.zeros(2), jnp.asarray(log_s0, jnp.float32).reshape(1),
+         bg0, ba0, vel0.reshape(-1)]
+    ).astype(jnp.float32)
 
     def step(carry, _):
         x, lam = carry
@@ -481,6 +549,17 @@ class VIBAProblem:
     fx: jax.Array
     fy: jax.Array
     bf: jax.Array
+    # Bias prior on one keyframe (EdgePriorGyro/EdgePriorAcc attached to
+    # the first KF by FullInertialBA when run at IMU init, :438-476).
+    prior_kf: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.int32(0)
+    )
+    prior_g: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
+    prior_a: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -588,6 +667,12 @@ def visual_inertial_ba(
 
         return jnp.sum(jax.vmap(one)(jnp.arange(E)))
 
+    def prior_cost(states):
+        bg, ba = states[3], states[4]
+        return p.prior_g * jnp.sum(bg[p.prior_kf] ** 2) + p.prior_a * jnp.sum(
+            ba[p.prior_kf] ** 2
+        )
+
     def build_cost(states, Xw, inlier):
         r, _, _, z = reproj(states[0], states[1], Xw)
         chi2 = chi2_of(r)
@@ -595,7 +680,11 @@ def visual_inertial_ba(
         rho = jnp.where(
             chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 0.0)) - d2
         )
-        return jnp.sum(jnp.where(active, rho, 0.0)) + inertial_cost(states)
+        return (
+            jnp.sum(jnp.where(active, rho, 0.0))
+            + inertial_cost(states)
+            + prior_cost(states)
+        )
 
     def step(carry, it):
         states, Xw, inlier, lam = carry
@@ -653,6 +742,24 @@ def visual_inertial_ba(
         S = S.at[p.edge_j, :, p.edge_i, :].add(jnp.swapaxes(Hij, -1, -2))
         rhs = rhs.at[p.edge_i].add(bi)
         rhs = rhs.at[p.edge_j].add(bj)
+
+        # Bias prior on prior_kf (r = bias, J = I on the bias sub-block).
+        Hp = (
+            jnp.zeros((D, D))
+            .at[9:12, 9:12]
+            .set(p.prior_g * jnp.eye(3))
+            .at[12:15, 12:15]
+            .set(p.prior_a * jnp.eye(3))
+        )
+        S = S.at[p.prior_kf, :, p.prior_kf, :].add(Hp)
+        bp = (
+            jnp.zeros(D)
+            .at[9:12]
+            .set(-p.prior_g * states[3][p.prior_kf])
+            .at[12:15]
+            .set(-p.prior_a * states[4][p.prior_kf])
+        )
+        rhs = rhs.at[p.prior_kf].add(bp)
 
         # Freeze fixed/invalid KFs; damp; solve.
         dmask = (free_f[:, None] * free_f[None, :])[:, None, :, None]

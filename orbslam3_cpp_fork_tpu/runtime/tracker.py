@@ -63,11 +63,40 @@ class Sensor(enum.Enum):
 
 
 @dataclasses.dataclass
+class ImuSettings:
+    """IMU noise/extrinsics (Settings::readIMU, src/Settings.cc:387-414).
+    Tbc maps camera coords to body/IMU coords (mImuCalib.mTbc)."""
+
+    noise_gyro: float = 1.7e-4
+    noise_acc: float = 2e-3
+    walk_gyro: float = 1.9e-5
+    walk_acc: float = 3e-3
+    freq: float = 200.0
+    Tbc: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(4, dtype=np.float32)
+    )
+
+
+@dataclasses.dataclass
 class TrackerConfig:
     camera: Camera = None
     width: int = 752
     height: int = 480
     sensor: Sensor = Sensor.MONOCULAR
+    imu: ImuSettings | None = None
+    # IMU init ladder schedule (LocalMapping::Run :232-286): minimum
+    # temporal-chain length and elapsed seconds for InitializeIMU, then
+    # VIBA1/VIBA2 refinements. Tests shrink these.
+    imu_init_min_kfs: int = 10
+    imu_init_time: float = 1.0
+    viba1_time: float = 5.0
+    viba2_time: float = 15.0
+    imu_kf_period: float = 0.25  # KF cadence until IMU init (:3012)
+    # VI BA capacities.
+    vi_kf_cap: int = 16
+    vi_full_kf_cap: int = 48
+    vi_obs_cap: int = 24576
+    imu_frame_cap: int = 64  # IMU samples per frame interval
     orb: orb.OrbParams = dataclasses.field(default_factory=orb.OrbParams)
     # Stereo / RGB-D: bf = baseline * fx (reference mbf); close/far point
     # threshold mThDepth = bf * ThDepth / fx with ThDepth=40 in the
@@ -268,7 +297,40 @@ class Tracker:
         cfg.map_cfg.n_features = cfg.orb.n_features
         from ..models.atlas import Atlas
 
-        self.atlas = Atlas(cfg.map_cfg)
+        # Inertial setup.
+        self.inertial = cfg.sensor in (
+            Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO, Sensor.IMU_RGBD
+        )
+        self.imu_calib = None
+        if self.inertial:
+            from ..ops import imu as imu_ops
+
+            s = cfg.imu or ImuSettings()
+            cfg.imu = s
+            Tbc = np.asarray(s.Tbc, np.float32)
+            self.imu_calib = imu_ops.ImuCalib.create(
+                s.noise_gyro, s.noise_acc, s.walk_gyro, s.walk_acc, s.freq,
+                Tbc_R=Tbc[:3, :3], Tbc_t=Tbc[:3, 3],
+            )
+            self.Rbc = Tbc[:3, :3]
+            self.tbc = Tbc[:3, 3]
+            self.Rcb = self.Rbc.T
+            self.tcb = (-self.Rbc.T @ self.tbc).astype(np.float32)
+        # IMU runtime state.
+        self._imu_since_kf: list[np.ndarray] = []  # rows [dt, acc3, gyro3]
+        self._imu_since_kf_t: list[float] = []  # matching absolute stamps
+        self._frame_imu: np.ndarray | None = None
+        self._pre_from_kf = None  # running device Preintegrated since last KF
+        self._last_imu_t: float | None = None
+        self.cur_v = np.zeros(3, np.float32)
+        self.cur_bg = np.zeros(3, np.float32)
+        self.cur_ba = np.zeros(3, np.float32)
+        self.last_body = None  # (Rwb, p, v) of the last tracked frame
+        self.prior_H = None  # 15x15 marginal prior for last-frame VI opt
+        self.last_kf_slot = -1  # temporal-chain tail in the active map
+        self._kf_inserted_last_frame = False
+
+        self.atlas = Atlas(cfg.map_cfg, imu_calib=self.imu_calib)
         self.state = TrackState.NO_IMAGES_YET
         self.last: FrameData | None = None
         self.init_ref: FrameData | None = None
@@ -339,21 +401,112 @@ class Tracker:
         return fd
 
     # ------------------------------------------------------------------
+    # IMU plumbing (Tracking::GrabImuData + PreintegrateIMU,
+    # src/Tracking.cc:1610-1711)
+    # ------------------------------------------------------------------
+
+    def _ingest_imu(self, imu: np.ndarray | None, timestamp: float):
+        """Convert absolute-time IMU rows [t, acc3, gyro3] covering the
+        interval since the previous frame into [dt, acc3, gyro3] steps."""
+        if not self.inertial:
+            return
+        rows, times = [], []
+        if imu is not None and len(imu):
+            imu = np.asarray(imu, np.float32)
+            t_prev = (
+                self._last_imu_t if self._last_imu_t is not None else float(imu[0, 0])
+            )
+            for r in imu:
+                t = float(r[0])
+                dt = t - t_prev
+                t_prev = t
+                if dt <= 0:
+                    continue
+                rows.append(
+                    np.concatenate([[dt], r[1:4], r[4:7]]).astype(np.float32)
+                )
+                times.append(t)
+            if timestamp > t_prev:  # partial tail step to the frame stamp
+                last = imu[-1]
+                rows.append(
+                    np.concatenate(
+                        [[timestamp - t_prev], last[1:4], last[4:7]]
+                    ).astype(np.float32)
+                )
+                times.append(timestamp)
+        self._last_imu_t = timestamp
+        self._frame_imu = np.stack(rows) if rows else None
+        self._imu_since_kf.extend(rows)
+        self._imu_since_kf_t.extend(times)
+
+    def _preintegrate_rows(self, rows, bg, ba, init=None):
+        """Device preintegration of a padded [dt, acc, gyro] row batch."""
+        from ..ops import imu as imu_ops
+
+        cap = self.cfg.imu_frame_cap
+        n = 0 if rows is None else min(len(rows), cap)
+        buf = np.zeros((cap, 7), np.float32)
+        if n:
+            buf[:n] = rows[:n]
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        return imu_ops.preintegrate(
+            jnp.asarray(buf[:, 1:4]), jnp.asarray(buf[:, 4:7]),
+            jnp.asarray(buf[:, 0]), jnp.asarray(valid), self.imu_calib,
+            jnp.asarray(bg, dtype=jnp.float32), jnp.asarray(ba, dtype=jnp.float32),
+            init=init,
+        )
+
+    def _body_from_cam_np(self, R, t):
+        """Twb from Tcw (numpy, batched)."""
+        Rwc = np.swapaxes(np.asarray(R), -1, -2)
+        twc = -np.einsum("...ij,...j->...i", Rwc, np.asarray(t))
+        Rwb = Rwc @ self.Rbc.T
+        twb = twc - np.einsum("...ij,j->...i", Rwb, self.tbc)
+        return Rwb.astype(np.float32), twb.astype(np.float32)
+
+    def _cam_from_body_np(self, Rwb, twb):
+        Rwc = np.asarray(Rwb) @ self.Rbc
+        twc = np.asarray(twb) + np.einsum("...ij,j->...i", np.asarray(Rwb), self.tbc)
+        Rcw = np.swapaxes(Rwc, -1, -2)
+        tcw = -np.einsum("...ij,...j->...i", Rcw, twc)
+        return Rcw.astype(np.float32), tcw.astype(np.float32)
+
+    def _reset_vi_runtime(self):
+        self._imu_since_kf = []
+        self._imu_since_kf_t = []
+        self._pre_from_kf = None
+        self.last_body = None
+        self.prior_H = None
+        self.last_kf_slot = -1
+        self.cur_v = np.zeros(3, np.float32)
+        self.cur_bg = np.zeros(3, np.float32)
+        self.cur_ba = np.zeros(3, np.float32)
+        self._kf_inserted_last_frame = False
+
+    # ------------------------------------------------------------------
     # Public API
     # ------------------------------------------------------------------
 
-    def track(self, img: np.ndarray, timestamp: float) -> np.ndarray | None:
-        """Monocular frame; returns 4x4 Tcw or None while initializing/lost."""
+    def track(
+        self, img: np.ndarray, timestamp: float, imu: np.ndarray | None = None
+    ) -> np.ndarray | None:
+        """Monocular frame; returns 4x4 Tcw or None while initializing/lost.
+        `imu`: (M,7) rows [t, ax, ay, az, gx, gy, gz] since the previous
+        frame (System::TrackMonocular's vImuMeas)."""
+        self._ingest_imu(imu, timestamp)
         frame = self._extract(img, timestamp)
         return self._process(frame)
 
     def track_stereo(
-        self, img_l: np.ndarray, img_r: np.ndarray, timestamp: float
+        self, img_l: np.ndarray, img_r: np.ndarray, timestamp: float,
+        imu: np.ndarray | None = None,
     ) -> np.ndarray | None:
         """Rectified stereo pair (System::TrackStereo, src/System.cc:270).
         Left/right ORB extraction (the reference's two std::threads,
         src/Frame.cc:202-205, become two async-dispatched XLA programs)
         followed by the dense row-banded stereo match kernel."""
+        self._ingest_imu(imu, timestamp)
         jl = jnp.asarray(img_l, jnp.float32)
         jr = jnp.asarray(img_r, jnp.float32)
         fl = orb.extract_orb_jit(jl, self.cfg.orb)
@@ -381,10 +534,12 @@ class Tracker:
         return self._process(frame)
 
     def track_rgbd(
-        self, img: np.ndarray, depth_map: np.ndarray, timestamp: float
+        self, img: np.ndarray, depth_map: np.ndarray, timestamp: float,
+        imu: np.ndarray | None = None,
     ) -> np.ndarray | None:
         """RGB-D frame (System::TrackRGBD, src/System.cc:368): depth map
         sampled at raw keypoints -> virtual right coordinate."""
+        self._ingest_imu(imu, timestamp)
         feats = orb.extract_orb_jit(jnp.asarray(img, jnp.float32), self.cfg.orb)
         xy_ud = np.asarray(undistort_points(self.cam, feats.xy))
         _, d, ok = stereo.depth_to_stereo(
@@ -470,6 +625,13 @@ class Tracker:
         # Re-anchor the live tracking state into the destination map.
         k_new = kf_remap[k]
         self.ref_kf = k_new
+        if self.inertial:
+            if self.last_kf_slot >= 0:
+                self.last_kf_slot = kf_remap.get(int(self.last_kf_slot), -1)
+            self.cur_v = ((self.cur_v @ RM) / sM).astype(np.float32)
+            # Preintegrations are body-frame: invariant to the world weld.
+            self.last_body = None  # recomputed from the welded frame pose
+            self.prior_H = None
         lm_lut = np.full(self.cfg.map_cfg.max_landmarks, -1, np.int32)
         for a, b in lm_remap.items():
             lm_lut[a] = b
@@ -523,6 +685,8 @@ class Tracker:
         self.velocity = None
         self.ref_kf = -1
         self.n_kf_inserted = 0
+        if self.inertial:
+            self._reset_vi_runtime()
 
     # ------------------------------------------------------------------
     # Initialization (MonocularInitialization, src/Tracking.cc:2341-2412)
@@ -616,6 +780,31 @@ class Tracker:
         self.velocity = None
         self.state = TrackState.OK
         self.n_kf_inserted = 2
+        if self.inertial:
+            # Seed the temporal chain: KF1 has no predecessor; KF2 gets the
+            # IMU rows between the two init frames.
+            m.set_keyframe_inertial(
+                k1, np.zeros(3, np.float32), self.cur_bg, self.cur_ba, -1, None
+            )
+            rows_t = np.asarray(self._imu_since_kf_t)
+            rows = (
+                np.stack(self._imu_since_kf)
+                if self._imu_since_kf
+                else np.zeros((0, 7), np.float32)
+            )
+            sel = (rows_t > ref.timestamp) & (rows_t <= frame.timestamp + 1e-9)
+            m.set_keyframe_inertial(
+                k2, np.zeros(3, np.float32), self.cur_bg, self.cur_ba, k1,
+                rows[sel] if sel.any() else None,
+            )
+            self._imu_since_kf = []
+            self._imu_since_kf_t = []
+            self._pre_from_kf = None
+            self.last_kf_slot = k2
+            m.imu_t0 = ref.timestamp
+            self._kf_inserted_last_frame = True
+            Rwb, p = self._body_from_cam_np(frame.R, frame.t)
+            self.last_body = (Rwb, p, np.zeros(3, np.float32))
         log.info(
             "map initialized: %d landmarks from %d matches", len(gi), len(idx)
         )
@@ -674,6 +863,18 @@ class Tracker:
         self.velocity = None
         self.state = TrackState.OK
         self.n_kf_inserted = 1
+        if self.inertial:
+            m.set_keyframe_inertial(
+                k, np.zeros(3, np.float32), self.cur_bg, self.cur_ba, -1, None
+            )
+            self._imu_since_kf = []
+            self._imu_since_kf_t = []
+            self._pre_from_kf = None
+            self.last_kf_slot = k
+            m.imu_t0 = frame.timestamp
+            self._kf_inserted_last_frame = True
+            Rwb, p = self._body_from_cam_np(frame.R, frame.t)
+            self.last_body = (Rwb, p, np.zeros(3, np.float32))
         self.last = frame
         log.info("stereo/RGB-D map initialized: %d landmarks", len(feats))
 
@@ -682,6 +883,25 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def _predict_pose(self, frame: FrameData):
+        if (
+            self.inertial
+            and self.map.imu_stage >= 1
+            and self.last_body is not None
+        ):
+            # IMU dead-reckoning from the last frame's body state
+            # (Tracking::PredictStateIMU, src/Tracking.cc:1712).
+            from ..ops import imu as imu_ops
+
+            pre = self._preintegrate_rows(self._frame_imu, self.cur_bg, self.cur_ba)
+            Rwb, p, v = self.last_body
+            R2, p2, v2 = imu_ops.predict_state(
+                jnp.asarray(Rwb), jnp.asarray(p), jnp.asarray(v),
+                pre, jnp.asarray(self.cur_bg), jnp.asarray(self.cur_ba),
+            )
+            Rwb2, p2, v2 = np.asarray(R2), np.asarray(p2), np.asarray(v2)
+            frame.R, frame.t = self._cam_from_body_np(Rwb2, p2)
+            self.cur_v = v2
+            return
         if self.velocity is not None and self.last.R is not None:
             Rv, tv = self.velocity
             frame.R = (Rv @ self.last.R).astype(np.float32)
@@ -777,7 +997,99 @@ class Tracker:
         self.map.lm_found[frame.lm_idx[bound[inl]]] += 1
         return n_in
 
+    def _pose_opt_dispatch(self, frame: FrameData) -> int:
+        if self.inertial and self.map.imu_stage >= 1:
+            return self._pose_optimize_vi(frame)
+        return self._pose_optimize(frame)
+
+    def _pose_optimize_vi(self, frame: FrameData) -> int:
+        """Tracking-time VI state estimation (PoseInertialOptimization*,
+        src/Optimizer.cc:4457/4830): reprojection + one inertial edge from
+        the anchor (last KF if the map just updated, else last frame with
+        its marginal prior)."""
+        from ..optim import inertial as vi
+
+        m = self.map
+        bound = np.nonzero(frame.lm_idx >= 0)[0]
+        if len(bound) < 3:
+            return 0
+        cap = self.cfg.local_lm_cap
+        bound = bound[:cap]
+        pad = cap - len(bound)
+        Xw = np.concatenate(
+            [m.lm_pos[frame.lm_idx[bound]], np.zeros((pad, 3), np.float32)]
+        )
+        uv_c = np.concatenate(
+            [frame.xy[bound] - [self.cx, self.cy], np.zeros((pad, 2), np.float32)]
+        ).astype(np.float32)
+        ur_c = np.concatenate(
+            [frame.ur[bound] - self.cx, np.zeros(pad, np.float32)]
+        ).astype(np.float32)
+        uvr = np.concatenate([uv_c, ur_c[:, None]], 1)
+        sig2 = np.concatenate(
+            [self._feat_sigma2(frame.level[bound]), np.ones(pad, np.float32)]
+        )
+        valid = np.concatenate([np.ones(len(bound), bool), np.zeros(pad, bool)])
+        is_st = np.concatenate([frame.ur[bound] >= 0, np.zeros(pad, bool)])
+
+        use_kf = (
+            self._kf_inserted_last_frame
+            or self.last_body is None
+            or self.prior_H is None
+        ) and self.last_kf_slot >= 0
+        if use_kf:
+            k = self.last_kf_slot
+            Rwb1, p1 = self._body_from_cam_np(m.kf_R[k], m.kf_t[k])
+            v1, bg1, ba1 = m.kf_vel[k], m.kf_bg[k], m.kf_ba[k]
+            if self._pre_from_kf is None:
+                return self._pose_optimize(frame)
+            pre = self._pre_from_kf
+            H_prior = None
+            anchor_fixed = True
+        else:
+            Rwb1, p1, v1 = self.last_body
+            bg1, ba1 = self.cur_bg, self.cur_ba
+            pre = self._preintegrate_rows(self._frame_imu, bg1, ba1)
+            H_prior = jnp.asarray(self.prior_H)
+            anchor_fixed = False
+        Rwb2, p2 = self._body_from_cam_np(frame.R, frame.t)
+
+        res = vi.pose_inertial_optimization(
+            jnp.asarray(Rwb1), jnp.asarray(p1), jnp.asarray(v1),
+            jnp.asarray(bg1), jnp.asarray(ba1),
+            jnp.asarray(Rwb2), jnp.asarray(p2), jnp.asarray(self.cur_v),
+            jnp.asarray(self.cur_bg), jnp.asarray(self.cur_ba),
+            pre,
+            jnp.asarray(Xw), jnp.asarray(uvr), jnp.asarray(sig2),
+            jnp.asarray(valid), jnp.asarray(is_st),
+            jnp.asarray(self.Rcb), jnp.asarray(self.tcb),
+            jnp.float32(self.fx), jnp.float32(self.fy),
+            jnp.float32(self.cfg.bf),
+            H_prior=H_prior, anchor_fixed=anchor_fixed,
+        )
+        frame.R, frame.t = self._cam_from_body_np(
+            np.asarray(res.Rwb), np.asarray(res.p)
+        )
+        self.cur_v = np.asarray(res.v)
+        self.cur_bg = np.asarray(res.bg)
+        self.cur_ba = np.asarray(res.ba)
+        self.prior_H = np.asarray(res.H_marg)
+        inl = np.asarray(res.inliers)[: len(bound)]
+        out_feats = bound[~inl]
+        frame.lm_idx[out_feats] = -1
+        self.map.lm_found[frame.lm_idx[bound[inl]]] += 1
+        return int(inl.sum())
+
     def _track_frame(self, frame: FrameData):
+        if self.inertial:
+            # Extend the running since-KF preintegration by this frame's
+            # measurements (mpImuPreintegratedFromLastKF).
+            if self.last_kf_slot >= 0:
+                bg = self.map.kf_bg[self.last_kf_slot]
+                ba = self.map.kf_ba[self.last_kf_slot]
+                self._pre_from_kf = self._preintegrate_rows(
+                    self._frame_imu, bg, ba, init=self._pre_from_kf
+                )
         self._predict_pose(frame)
         m = self.map
 
@@ -792,7 +1104,7 @@ class Tracker:
             if len(lm_hit2) > len(lm_hit):
                 lm_hit, feat_hit = lm_hit2, feat_hit2
         frame.lm_idx[feat_hit] = lm_hit
-        n_in = self._pose_optimize(frame)
+        n_in = self._pose_opt_dispatch(frame)
         log.debug(
             "frame %d stage1: %d last-lms, %d hits, %d inliers",
             frame.frame_id, len(last_lms), len(lm_hit), n_in,
@@ -825,7 +1137,7 @@ class Tracker:
         local_lms = m.local_map_landmarks(local_kfs)
         lm_hit, feat_hit = self._match_landmarks_into_frame(frame, local_lms, 6.0)
         frame.lm_idx[feat_hit] = lm_hit
-        n_in = self._pose_optimize(frame)
+        n_in = self._pose_opt_dispatch(frame)
         log.debug(
             "frame %d stage2: %d local-lms, %d new hits, %d inliers",
             frame.frame_id, len(local_lms), len(lm_hit), n_in,
@@ -850,8 +1162,21 @@ class Tracker:
             frames_since_kf >= self.cfg.kf_max_interval
             or (n_in < self.cfg.kf_ref_ratio * ref_tracked and frames_since_kf >= 3)
         ) and n_in > 15
+        if self.inertial and self.last_kf_slot >= 0:
+            # Inertial cadence: steady KF stream so the preintegration
+            # chain stays short, mandatory until IMU init
+            # (NeedNewKeyFrame, src/Tracking.cc:3012-3030).
+            dt_kf = frame.timestamp - float(m.kf_timestamp[self.last_kf_slot])
+            if m.imu_stage == 0:
+                need = dt_kf >= self.cfg.imu_kf_period and n_in > 15
+            else:
+                need = need or (dt_kf >= 0.5 and n_in > 15)
+        self._kf_inserted_last_frame = False
         if need:
             self._insert_keyframe(frame)
+        if self.inertial:
+            Rwb, p = self._body_from_cam_np(frame.R, frame.t)
+            self.last_body = (Rwb, p, self.cur_v.copy())
         self.last = frame
 
     def _kf_bits(self, k: int) -> np.ndarray:
@@ -975,6 +1300,8 @@ class Tracker:
         self.last_kf_frame_id = frame.frame_id
         self.ref_kf = k
         self.n_kf_inserted += 1
+        if self.inertial:
+            self._attach_inertial_kf(k, frame)
 
         # Update stats of observed landmarks.
         seen = frame.lm_idx[frame.lm_idx >= 0]
@@ -997,9 +1324,17 @@ class Tracker:
         # Cull weak recent landmarks (MapPointCulling :382-416).
         self._cull_landmarks()
 
-        # Local BA over the covisible window.
-        window = [k] + [int(x) for x in neigh[: self.cfg.ba_kf_cap - 1]]
-        self._local_ba(window)
+        # Local BA: visual-inertial temporal window once the IMU is
+        # initialized, otherwise visual covisibility window.
+        if self.inertial and m.imu_stage >= 1:
+            self._local_inertial_ba(k)
+        else:
+            window = [k] + [int(x) for x in neigh[: self.cfg.ba_kf_cap - 1]]
+            self._local_ba(window)
+
+        # IMU initialization ladder (LocalMapping::Run :232-286).
+        if self.inertial:
+            self._imu_ladder(frame, k)
 
         # Place recognition: loop detection/correction, then register the
         # keyframe in the database (LoopClosing::InsertKeyFrame handoff).
@@ -1014,6 +1349,372 @@ class Tracker:
             "KF %d inserted (frame %d): %d new lms, map: %d KFs / %d lms",
             k, frame.frame_id, len(new_ids), m.n_keyframes(), m.n_landmarks(),
         )
+
+    # ------------------------------------------------------------------
+    # Visual-inertial mapping (LocalMapping IMU init ladder + LocalInertialBA)
+    # ------------------------------------------------------------------
+
+    def _attach_inertial_kf(self, k: int, frame: FrameData):
+        """Link the new KF into the temporal chain with its velocity,
+        biases and preintegration since the previous KF."""
+        m = self.map
+        prev = self.last_kf_slot
+        if prev < 0 or not m.kf_valid[prev]:
+            prev = -1
+        raw = np.stack(self._imu_since_kf) if self._imu_since_kf else None
+        m.set_keyframe_inertial(
+            k, self.cur_v, self.cur_bg, self.cur_ba, prev, raw
+        )
+        self._imu_since_kf = []
+        self._imu_since_kf_t = []
+        self._pre_from_kf = None
+        self.last_kf_slot = k
+        if m.imu_t0 < 0:
+            m.imu_t0 = frame.timestamp
+        self._kf_inserted_last_frame = True
+
+    def _imu_ladder(self, frame: FrameData, k: int):
+        """Staged IMU initialization (LocalMapping::Run :232-286):
+        InitializeIMU -> VIBA1 -> VIBA2."""
+        m = self.map
+        cfg = self.cfg
+        if m.imu_t0 < 0:
+            return
+        elapsed = frame.timestamp - m.imu_t0
+        if m.imu_stage == 0:
+            chain = m.temporal_window(k, cfg.imu_init_min_kfs + 1)
+            if len(chain) >= cfg.imu_init_min_kfs and elapsed >= cfg.imu_init_time:
+                mono = cfg.sensor == Sensor.IMU_MONOCULAR
+                self._initialize_imu(
+                    frame, k,
+                    prior_g=1e2, prior_a=1e10 if mono else 1e5,
+                    fix_scale=not mono,
+                )
+        elif m.imu_stage == 1 and elapsed >= cfg.viba1_time:
+            log.info("VIBA1 at t=%.1fs", elapsed)
+            self._full_inertial_ba(k, prior_g=1.0, prior_a=1e5)
+            m.imu_stage = 2
+            self._sync_after_global(frame, k)
+        elif m.imu_stage == 2 and elapsed >= cfg.viba2_time:
+            log.info("VIBA2 at t=%.1fs", elapsed)
+            self._full_inertial_ba(k, prior_g=0.0, prior_a=0.0)
+            m.imu_stage = 3
+            self._sync_after_global(frame, k)
+
+    def _initialize_imu(
+        self, frame: FrameData, k: int, prior_g: float, prior_a: float,
+        fix_scale: bool,
+    ) -> bool:
+        """LocalMapping::InitializeIMU (src/LocalMapping.cc:1189-1463):
+        gravity/scale/bias/velocity estimation with poses fixed, world
+        gravity alignment + rescale, then full visual-inertial BA."""
+        from ..optim import inertial as vi
+
+        m = self.map
+        chain = m.temporal_window(k, 10**6)[::-1]  # oldest..newest
+        ks = np.asarray(chain, np.int64)
+        ei, ej, pre_ks = [], [], []
+        for idx in range(1, len(ks)):
+            a, b = int(ks[idx - 1]), int(ks[idx])
+            if m.kf_pre_valid[b] and int(m.kf_prev[b]) == a:
+                ei.append(idx - 1)
+                ej.append(idx)
+                pre_ks.append(b)
+        if len(ei) < 3:
+            return False
+        pre = jax.tree.map(jnp.asarray, m.stacked_preint(np.asarray(pre_ks)))
+        Rwb, twb = self._body_from_cam_np(m.kf_R[ks], m.kf_t[ks])
+        ei_j = jnp.asarray(ei, jnp.int32)
+        ej_j = jnp.asarray(ej, jnp.int32)
+        ev = jnp.ones(len(ei), bool)
+
+        # Closed-form linear alignment (scale/gravity/velocity seed) —
+        # immune to the whitened-GN scale collapse under KF-pose noise.
+        s_lin, g_lin, v_lin = vi.linear_inertial_init(Rwb, twb, ei, ej, pre)
+        if fix_scale:
+            s_lin = 1.0
+        if not np.isfinite(s_lin) or s_lin < 1e-3:
+            log.warning("IMU linear init rejected: scale %.5f", s_lin)
+            return False
+        # Pre-align gravity (from the linear estimate) so the 2-dof
+        # gravity parametrization starts near identity.
+        g_dir = g_lin / max(np.linalg.norm(g_lin), 1e-9)
+        gI = np.array([0.0, 0.0, -1.0])
+        vx = np.cross(gI, g_dir)
+        ang = np.arctan2(np.linalg.norm(vx), float(gI @ g_dir))
+        axis = vx / max(np.linalg.norm(vx), 1e-9)
+        Rwg_seed = np.asarray(lie.so3_exp(jnp.asarray(axis * ang, jnp.float32)))
+        Rg = Rwg_seed.T
+        Rwb_p = np.einsum("ij,kjl->kil", Rg, Rwb).astype(np.float32)
+        twb_p = (twb @ Rg.T).astype(np.float32)
+        # Velocity seed in MAP units in the pre-rotated frame.
+        v0 = ((v_lin / s_lin) @ Rg.T).astype(np.float32)
+        # KF-position noise floor: a fraction of the median inter-KF step.
+        steps = np.linalg.norm(np.diff(twb, axis=0), axis=1)
+        sigma_p = 0.05 * float(np.median(steps)) if len(steps) else 0.0
+
+        res = vi.inertial_init(
+            jnp.asarray(Rwb_p), jnp.asarray(twb_p), jnp.asarray(v0),
+            ei_j, ej_j, ev, pre,
+            jnp.float32(prior_g), jnp.float32(prior_a),
+            iters=100, fix_scale=fix_scale,
+            log_s0=jnp.float32(np.log(s_lin)),
+            sigma_p=jnp.float32(sigma_p),
+        )
+        s = float(res.scale)
+        if not np.isfinite(s) or (not fix_scale and s < 1e-2):
+            log.warning("IMU init rejected: scale %.4f", s)
+            return False
+        Rwg_tot = Rwg_seed @ np.asarray(res.Rwg)
+        Ryw = Rwg_tot.T.astype(np.float32)
+        # Velocities come back in the pre-rotated world; undo the seed.
+        m.kf_vel[ks] = np.asarray(res.vel) @ Rwg_seed.T
+        bg = np.asarray(res.bg)
+        ba = np.asarray(res.ba)
+        m.kf_bg[m.kf_valid] = bg
+        m.kf_ba[m.kf_valid] = ba
+        m.apply_gravity_scale(Ryw, s)
+        bias = np.concatenate([bg, ba]).astype(np.float32)
+        for b in ks:
+            if m.kf_pre_valid[b]:
+                m._reintegrate(int(b), bias=bias)
+        m.imu_stage = 1
+        log.info(
+            "IMU initialized: scale %.3f, |bg| %.4f, |ba| %.4f (%d KFs)",
+            s, np.linalg.norm(bg), np.linalg.norm(ba), len(ks),
+        )
+        self._full_inertial_ba(k, prior_g=prior_g, prior_a=prior_a)
+        self._sync_after_global(frame, k)
+        return True
+
+    def _sync_after_global(self, frame: FrameData, k: int):
+        """Re-anchor live tracking state after a global map change
+        (Tracking::UpdateFrameIMU, src/Tracking.cc:3802)."""
+        m = self.map
+        frame.R = m.kf_R[k].copy()
+        frame.t = m.kf_t[k].copy()
+        self.cur_v = m.kf_vel[k].copy()
+        self.cur_bg = m.kf_bg[k].copy()
+        self.cur_ba = m.kf_ba[k].copy()
+        Rwb, p = self._body_from_cam_np(frame.R, frame.t)
+        self.last_body = (Rwb, p, self.cur_v.copy())
+        self.velocity = None
+        self.prior_H = None
+        self._kf_inserted_last_frame = True
+
+    def _stacked_pre_padded(self, pre_ks: list[int], cap: int):
+        """Stacked Preintegrated over KF slots, padded to cap with
+        identity intervals (dR=I, C=0, dT=0 -> residuals vanish)."""
+        from ..ops import imu as imu_ops
+
+        m = self.map
+        n = len(pre_ks)
+        base = m.stacked_preint(np.asarray(pre_ks, np.int64)) if n else None
+        pad = cap - n
+
+        def fld(name, shape, fill):
+            real = getattr(base, name) if base is not None else np.zeros((0, *shape), np.float32)
+            padv = np.broadcast_to(fill, (pad, *shape)).astype(np.float32)
+            return jnp.asarray(np.concatenate([real, padv]))
+
+        eye = np.eye(3, dtype=np.float32)
+        z3 = np.zeros(3, np.float32)
+        z33 = np.zeros((3, 3), np.float32)
+        return imu_ops.Preintegrated(
+            dR=fld("dR", (3, 3), eye),
+            dV=fld("dV", (3,), z3),
+            dP=fld("dP", (3,), z3),
+            C=fld("C", (15, 15), np.zeros((15, 15), np.float32)),
+            JRg=fld("JRg", (3, 3), z33),
+            JVg=fld("JVg", (3, 3), z33),
+            JVa=fld("JVa", (3, 3), z33),
+            JPg=fld("JPg", (3, 3), z33),
+            JPa=fld("JPa", (3, 3), z33),
+            dT=fld("dT", (), np.float32(0.0)),
+            bias_gyro=fld("bias_gyro", (3,), z3),
+            bias_acc=fld("bias_acc", (3,), z3),
+        )
+
+    def _build_vi_problem(
+        self, opt_kfs: list[int], K_cap: int, obs_cap: int,
+        prior_g: float = 0.0, prior_a: float = 0.0,
+    ):
+        """Assemble a fixed-capacity VIBAProblem: optimizable temporal
+        window + fixed boundary/observer KFs, reprojection observations,
+        and the inertial chain edges."""
+        from ..optim.inertial import VIBAProblem
+
+        m = self.map
+        cfg = self.cfg
+        opt_kfs = list(dict.fromkeys(opt_kfs))
+        # Fixed: temporal boundary + covisible observers of window lms.
+        fixed: list[int] = []
+        b = int(m.kf_prev[opt_kfs[0]])
+        if b >= 0 and m.kf_valid[b]:
+            fixed.append(b)
+        lms = m.local_map_landmarks(np.asarray(opt_kfs, np.int64))[: cfg.ba_lm_cap]
+        if len(lms) < 8:
+            return None
+        other = m.obs[:, lms].any(axis=1) & m.kf_valid
+        other[opt_kfs] = False
+        if fixed:
+            other[fixed] = False
+        fixed += [int(x) for x in np.nonzero(other)[0][: cfg.ba_fixed_cap]]
+        kfs = (opt_kfs + fixed)[:K_cap]
+        n_opt = min(len(opt_kfs), K_cap)
+        pad_k = K_cap - len(kfs)
+        kfs_arr = np.asarray(kfs, np.int64)
+
+        kf_fixed = np.zeros(len(kfs), bool)
+        kf_fixed[n_opt:] = True
+        if not kf_fixed.any():
+            kf_fixed[0] = True
+
+        lm_lookup = np.full(m.cfg.max_landmarks, -1, np.int64)
+        lm_lookup[lms] = np.arange(len(lms))
+
+        o_kf, o_lm, o_uv, o_sig, o_ur, o_st = [], [], [], [], [], []
+        for ki, kk in enumerate(kfs):
+            li = lm_lookup[np.maximum(m.kf_lm_idx[kk], 0)]
+            sel = (m.kf_lm_idx[kk] >= 0) & (li >= 0)
+            f = np.nonzero(sel)[0]
+            o_kf.append(np.full(len(f), ki))
+            o_lm.append(li[f])
+            o_uv.append(m.kf_xy[kk, f] - [self.cx, self.cy])
+            o_sig.append(self._feat_sigma2(m.kf_level[kk, f]))
+            o_ur.append(m.kf_ur[kk, f] - self.cx)
+            o_st.append(m.kf_ur[kk, f] >= 0)
+        o_kf = np.concatenate(o_kf)
+        o_lm = np.concatenate(o_lm)
+        o_uv = np.concatenate(o_uv).astype(np.float32)
+        o_sig = np.concatenate(o_sig)
+        o_ur = np.concatenate(o_ur).astype(np.float32)
+        o_st = np.concatenate(o_st)
+        if len(o_kf) > obs_cap:
+            keep = np.random.default_rng(0).permutation(len(o_kf))[:obs_cap]
+            o_kf, o_lm, o_uv, o_sig = o_kf[keep], o_lm[keep], o_uv[keep], o_sig[keep]
+            o_ur, o_st = o_ur[keep], o_st[keep]
+        pad_o = obs_cap - len(o_kf)
+        L_n = cfg.ba_lm_cap
+        pad_l = L_n - len(lms)
+
+        # Inertial edges among problem KFs (prev->k chain).
+        slot_of = {int(kk): i for i, kk in enumerate(kfs)}
+        ei, ej, pre_ks = [], [], []
+        for kk in kfs:
+            pkf = int(m.kf_prev[kk])
+            if m.kf_pre_valid[kk] and pkf in slot_of:
+                ei.append(slot_of[pkf])
+                ej.append(slot_of[int(kk)])
+                pre_ks.append(int(kk))
+        E_cap = K_cap
+        n_e = min(len(ei), E_cap)
+        ei, ej, pre_ks = ei[:n_e], ej[:n_e], pre_ks[:n_e]
+        pre = self._stacked_pre_padded(pre_ks, E_cap)
+
+        Rwb, twb = self._body_from_cam_np(m.kf_R[kfs_arr], m.kf_t[kfs_arr])
+
+        def padk(x, fill=0):
+            return np.concatenate(
+                [x, np.full((pad_k, *x.shape[1:]), fill, x.dtype)]
+            )
+
+        eye_pad = np.tile(np.eye(3, dtype=np.float32), (pad_k, 1, 1))
+        prob = VIBAProblem(
+            Rwb=jnp.asarray(np.concatenate([Rwb, eye_pad])),
+            twb=jnp.asarray(padk(twb)),
+            vel=jnp.asarray(padk(m.kf_vel[kfs_arr])),
+            bg=jnp.asarray(padk(m.kf_bg[kfs_arr])),
+            ba=jnp.asarray(padk(m.kf_ba[kfs_arr])),
+            kf_valid=jnp.asarray(
+                np.concatenate([np.ones(len(kfs), bool), np.zeros(pad_k, bool)])
+            ),
+            kf_fixed=jnp.asarray(
+                np.concatenate([kf_fixed, np.ones(pad_k, bool)])
+            ),
+            Xw=jnp.asarray(
+                np.concatenate([m.lm_pos[lms], np.zeros((pad_l, 3), np.float32)])
+            ),
+            lm_valid=jnp.asarray(
+                np.concatenate([np.ones(len(lms), bool), np.zeros(pad_l, bool)])
+            ),
+            obs_kf=jnp.asarray(np.concatenate([o_kf, np.zeros(pad_o)]).astype(np.int32)),
+            obs_lm=jnp.asarray(np.concatenate([o_lm, np.zeros(pad_o)]).astype(np.int32)),
+            obs_uvr=jnp.asarray(
+                np.concatenate(
+                    [np.concatenate([o_uv, o_ur[:, None]], 1),
+                     np.zeros((pad_o, 3), np.float32)]
+                )
+            ),
+            obs_sigma2=jnp.asarray(
+                np.concatenate([o_sig, np.ones(pad_o, np.float32)])
+            ),
+            obs_stereo=jnp.asarray(np.concatenate([o_st, np.zeros(pad_o, bool)])),
+            obs_valid=jnp.asarray(
+                np.concatenate([np.ones(len(o_kf), bool), np.zeros(pad_o, bool)])
+            ),
+            edge_i=jnp.asarray(
+                np.concatenate([ei, np.zeros(E_cap - n_e)]).astype(np.int32)
+            ),
+            edge_j=jnp.asarray(
+                np.concatenate([ej, np.zeros(E_cap - n_e)]).astype(np.int32)
+            ),
+            edge_valid=jnp.asarray(
+                np.concatenate([np.ones(n_e, bool), np.zeros(E_cap - n_e, bool)])
+            ),
+            pre=pre,
+            Rcb=jnp.asarray(self.Rcb),
+            tcb=jnp.asarray(self.tcb),
+            fx=jnp.float32(self.fx),
+            fy=jnp.float32(self.fy),
+            bf=jnp.float32(self.cfg.bf),
+            prior_kf=jnp.int32(n_opt - 1),  # newest optimizable KF
+            prior_g=jnp.float32(prior_g),
+            prior_a=jnp.float32(prior_a),
+        )
+        return prob, kfs_arr, np.asarray(lms), kf_fixed
+
+    def _run_vi_ba(self, prob, kfs_arr, lms, iters: int, gate_at: int):
+        from ..optim.inertial import visual_inertial_ba
+
+        res = visual_inertial_ba(prob, iters=iters, gate_at=gate_at)
+        m = self.map
+        n = len(kfs_arr)
+        Rwb = np.asarray(res.Rwb)[:n]
+        twb = np.asarray(res.twb)[:n]
+        Rcw, tcw = self._cam_from_body_np(Rwb, twb)
+        m.kf_R[kfs_arr] = Rcw
+        m.kf_t[kfs_arr] = tcw
+        m.kf_vel[kfs_arr] = np.asarray(res.vel)[:n]
+        m.kf_bg[kfs_arr] = np.asarray(res.bg)[:n]
+        m.kf_ba[kfs_arr] = np.asarray(res.ba)[:n]
+        m.lm_pos[lms] = np.asarray(res.Xw)[: len(lms)]
+
+    def _local_inertial_ba(self, k: int):
+        """LocalInertialBA (src/Optimizer.cc:2371): temporal window of the
+        last N KFs through the prev chain, boundary + observers fixed."""
+        window = self.map.temporal_window(k, self.cfg.local_window_kfs)[::-1]
+        built = self._build_vi_problem(
+            window, K_cap=self.cfg.vi_kf_cap, obs_cap=self.cfg.ba_obs_cap
+        )
+        if built is None:
+            return
+        prob, kfs_arr, lms, _ = built
+        self._run_vi_ba(prob, kfs_arr, lms, iters=10, gate_at=5)
+
+    def _full_inertial_ba(self, k: int, prior_g: float, prior_a: float):
+        """FullInertialBA (src/Optimizer.cc:378): whole temporal chain
+        (up to capacity), oldest KF fixed as gauge, bias prior on the
+        newest KF."""
+        chain = self.map.temporal_window(k, self.cfg.vi_full_kf_cap)[::-1]
+        built = self._build_vi_problem(
+            chain, K_cap=self.cfg.vi_full_kf_cap + self.cfg.ba_fixed_cap,
+            obs_cap=self.cfg.vi_obs_cap, prior_g=prior_g, prior_a=prior_a,
+        )
+        if built is None:
+            return
+        prob, kfs_arr, lms, _ = built
+        self._run_vi_ba(prob, kfs_arr, lms, iters=15, gate_at=8)
 
     def _seed_depth_points(self, frame: FrameData, k: int) -> list[int]:
         """Create landmarks for unbound close-depth features of a new

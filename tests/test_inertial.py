@@ -121,6 +121,24 @@ def test_inertial_init_recovers_gravity_and_scale():
     assert err < 0.05 * np.linalg.norm(v_true, axis=1).mean() + 0.02, err
 
 
+def test_linear_inertial_init():
+    """Closed-form alignment recovers scale/gravity/velocities exactly on
+    noise-free data (the seed for inertial_init)."""
+    n_kf = 8
+    Rwb, p, v, pre = make_kf_chain(n_kf=n_kf, kf_dt=0.4)
+    s_true = 4.0
+    Rpert = np.asarray(lie.so3_exp(jnp.asarray([0.3, -0.2, 0.15])))
+    p_in = (p @ Rpert.T / s_true).astype(np.float32)
+    Rwb_in = np.einsum("ij,kjl->kil", Rpert, Rwb).astype(np.float32)
+    ei = np.arange(n_kf - 1)
+    s, g, v_est = inertial.linear_inertial_init(Rwb_in, p_in, ei, ei + 1, pre)
+    assert abs(s - s_true) / s_true < 0.02, s
+    g_true = Rpert @ G_W
+    np.testing.assert_allclose(g, g_true, atol=0.15)
+    v_true = v @ Rpert.T  # metric velocities in the rotated world
+    assert np.linalg.norm(v_est - v_true, axis=1).mean() < 0.05
+
+
 def test_inertial_init_recovers_gyro_bias():
     """Bias-only variant (fixed scale/gravity) recovers an injected
     gyro bias (InertialOptimization bias overload :3222)."""

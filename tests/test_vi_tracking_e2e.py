@@ -1,0 +1,139 @@
+"""Monocular-inertial end-to-end regression: render a circling camera with
+exact IMU, track, and verify the IMU init ladder recovers METRIC scale
+(the mono map is born at arbitrary scale; after InitializeIMU the
+trajectory must match ground truth without scale alignment).
+
+Parity target: the Monocular-Inertial EuRoC pipeline
+(Tracking + LocalMapping::InitializeIMU, src/LocalMapping.cc:1189-1463).
+"""
+
+import numpy as np
+import pytest
+
+from orbslam3_cpp_fork_tpu.datasets import synthetic
+from orbslam3_cpp_fork_tpu.ops.camera import Camera
+from orbslam3_cpp_fork_tpu.ops.orb import OrbParams
+from orbslam3_cpp_fork_tpu.runtime.tracker import (
+    ImuSettings, Sensor, Tracker, TrackerConfig, TrackState,
+)
+from orbslam3_cpp_fork_tpu.utils.evaluation import ate_rmse
+
+from test_inertial import G_W
+
+RADIUS = 2.0
+OMEGA = 0.35
+BOB_A = 0.25  # vertical bobbing amplitude (m)
+BOB_W = 3.0  # bobbing angular rate (rad/s) -> ~2.3 m/s^2 excitation
+FPS = 10.0
+IMU_HZ = 200.0
+
+
+def bob_state(t):
+    """Circle + vertical bobbing — a MAV-like excited trajectory (mono
+    scale is unobservable without kinematic acceleration; the reference
+    similarly requires motion excitation before InitializeIMU)."""
+    th = OMEGA * t
+    c, s = np.cos(th), np.sin(th)
+    p = np.array([RADIUS * c, RADIUS * s, BOB_A * np.sin(BOB_W * t)])
+    v = np.array(
+        [-RADIUS * OMEGA * s, RADIUS * OMEGA * c, BOB_A * BOB_W * np.cos(BOB_W * t)]
+    )
+    a_w = np.array(
+        [-RADIUS * OMEGA**2 * c, -RADIUS * OMEGA**2 * s,
+         -BOB_A * BOB_W**2 * np.sin(BOB_W * t)]
+    )
+    x_b = np.array([-s, c, 0.0])
+    z_b = np.array([c, s, 0.0])
+    y_b = np.cross(z_b, x_b)
+    Rwb = np.stack([x_b, y_b, z_b], axis=1)
+    w_body = Rwb.T @ np.array([0.0, 0.0, OMEGA])
+    return Rwb.astype(np.float32), p.astype(np.float32), v, a_w, w_body
+
+
+def imu_rows(t0, t1):
+    """Exact IMU rows [t, acc, gyro] over (t0, t1]."""
+    n = int(round((t1 - t0) * IMU_HZ))
+    rows = []
+    for i in range(n):
+        t = t0 + (i + 0.5) * (t1 - t0) / n
+        Rwb, _, _, a_w, w_body = bob_state(t)
+        rows.append(
+            np.concatenate(
+                [[t0 + (i + 1) * (t1 - t0) / n], Rwb.T @ (a_w - G_W), w_body]
+            )
+        )
+    return np.asarray(rows, np.float32)
+
+
+@pytest.fixture(scope="module")
+def vi_tracked():
+    scene = synthetic.make_ring_scene(seed=5)
+    n_frames = 70
+    dt = 1.0 / FPS
+    stamps = np.arange(n_frames) * dt
+    Rs, ts = [], []
+    for t in stamps:
+        Rwb, p, _, _, _ = bob_state(t)
+        Rs.append(Rwb)  # body == camera (Tbc = I)
+        ts.append(p)
+    Rs, ts = np.stack(Rs), np.stack(ts)
+    frames = synthetic.render_sequence(scene, Rs, ts)
+
+    cam = Camera.pinhole(
+        scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2]
+    )
+    cfg = TrackerConfig(
+        camera=cam,
+        width=scene.width,
+        height=scene.height,
+        sensor=Sensor.IMU_MONOCULAR,
+        orb=OrbParams(n_features=600),
+        imu=ImuSettings(freq=IMU_HZ),
+        imu_init_min_kfs=6,
+        imu_init_time=0.6,
+        viba1_time=3.0,
+        viba2_time=1e9,  # keep the test short
+        imu_kf_period=0.3,
+        enable_loop_closing=False,
+    )
+    tracker = Tracker(cfg)
+    poses = []
+    for i in range(n_frames):
+        rows = imu_rows(stamps[i - 1], stamps[i]) if i > 0 else None
+        T = tracker.track(frames[i], float(stamps[i]), imu=rows)
+        poses.append(T)
+    return tracker, stamps, poses, Rs, ts
+
+
+def test_vi_initializes_imu(vi_tracked):
+    tracker, stamps, poses, Rs, ts = vi_tracked
+    assert tracker.state == TrackState.OK
+    assert tracker.map.imu_stage >= 1, "IMU never initialized"
+    n_tracked = sum(p is not None for p in poses)
+    assert n_tracked > 50, n_tracked
+
+
+def test_vi_metric_scale(vi_tracked):
+    """After IMU init the map is metric: the ratio between estimated and
+    true trajectory scale must be ~1 (the visual-only mono map cannot do
+    this — scale is unobservable without the IMU)."""
+    tracker, stamps, poses, Rs, ts = vi_tracked
+    ts_est, Twc = tracker.export_trajectory()
+    pos_est = Twc[:, :3, 3]
+    res = ate_rmse(ts_est, pos_est, stamps, ts)
+    assert res.n_pairs > 40
+    assert abs(res.scale - 1.0) < 0.12, f"scale off: {res.scale}"
+    assert res.rmse_scaled < 0.10, res
+
+
+def test_vi_gravity_aligned(vi_tracked):
+    """After init the world frame is gravity-aligned: the circle's plane
+    normal (world z) must match the true one."""
+    tracker, stamps, poses, Rs, ts = vi_tracked
+    ts_est, Twc = tracker.export_trajectory()
+    pos = Twc[:, :3, 3]
+    pos = pos - pos.mean(0)
+    # Smallest principal axis of a horizontal circle = z.
+    _, _, V = np.linalg.svd(pos)
+    normal = V[2]
+    assert abs(normal[2]) > 0.98, normal
