@@ -58,6 +58,15 @@ class Camera:
         d = jnp.asarray([k1, k2, k3, k4, 0.0], jnp.float32)
         return Camera(*map(jnp.float32, (fx, fy, cx, cy)), dist=d, kind=KANNALA_BRANDT8)
 
+    def scaled(self, sx: float, sy: float) -> "Camera":
+        """Intrinsics after resizing the image by (sx, sy)
+        (Settings image-resize handling, src/Settings.cc:458)."""
+        return Camera(
+            fx=self.fx * sx, fy=self.fy * sy,
+            cx=self.cx * sx, cy=self.cy * sy,
+            dist=self.dist, kind=self.kind,
+        )
+
     @property
     def K(self) -> jax.Array:
         z = jnp.zeros_like(self.fx)

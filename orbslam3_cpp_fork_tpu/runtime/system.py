@@ -1,0 +1,301 @@
+"""System facade — the library's top-level entry point.
+
+TPU re-design of the reference `System` class (src/System.cc:49-1530,
+include/System.h:70-186): owns the Atlas, tracker, loop closer and
+keyframe database; exposes per-frame Track* calls with input
+pre-processing (RGB->gray, resize), mode switches (localization-only),
+reset, shutdown with per-stage timing stats, trajectory export in
+TUM/EuRoC/KITTI formats, and Atlas checkpoint/resume.
+
+The reference's four OS threads become the synchronous stage pipeline
+inside Tracker (tracking -> mapping -> loop closing run as async XLA
+dispatches sharing the SoA map arrays); System stays a thin host shell.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+from ..utils import timers as timers_mod
+from ..utils.settings import Settings, load_settings
+from ..utils.trajectory import write_kitti, write_tum
+from .tracker import ImuSettings, Sensor, Tracker, TrackerConfig, TrackState
+from . import checkpoint
+
+log = logging.getLogger("orbslam3_tpu.system")
+
+
+class System:
+    """System(settings, sensor) -> track_*(...) -> shutdown().
+
+    `settings` is a Settings object or a path to a "File.version 1.0"
+    YAML (the reference's per-dataset configs)."""
+
+    def __init__(
+        self,
+        settings: Settings | str,
+        sensor: Sensor,
+        use_viewer: bool = False,
+        load_atlas: str | None = None,
+    ):
+        if isinstance(settings, str):
+            settings = load_settings(settings)
+        self.settings = settings
+        self.sensor = sensor
+        from ..ops.orb import OrbParams
+
+        s = settings
+        width = s.new_width or s.width
+        height = s.new_height or s.height
+        self._resize = (
+            (height, width) if (s.new_width or s.new_height) else None
+        )
+        self._scale_x = width / s.width
+        self._scale_y = height / s.height
+        cam = s.camera
+        if self._resize:
+            cam = cam.scaled(self._scale_x, self._scale_y)
+        imu_cfg = None
+        if sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO, Sensor.IMU_RGBD):
+            if s.imu is None:
+                raise ValueError("inertial sensor requires IMU settings")
+            imu_cfg = ImuSettings(
+                noise_gyro=s.imu.noise_gyro,
+                noise_acc=s.imu.noise_acc,
+                walk_gyro=s.imu.walk_gyro,
+                walk_acc=s.imu.walk_acc,
+                freq=s.imu.frequency,
+                Tbc=s.imu.Tbc,
+            )
+        bf = (s.bf or 0.0) * self._scale_x
+        th_depth = 0.0
+        if s.stereo_th_depth and s.bf:
+            # mThDepth = bf * ThDepth / fx (src/Settings.cc & Tracking.cc).
+            th_depth = bf * s.stereo_th_depth / float(cam.K[0, 0])
+        cfg = TrackerConfig(
+            camera=cam,
+            width=width,
+            height=height,
+            sensor=sensor,
+            orb=OrbParams(
+                n_features=s.n_features,
+                n_levels=s.n_levels,
+                scale_factor=s.scale_factor,
+                th_fast_high=float(s.ini_th_fast),
+                th_fast_low=float(s.min_th_fast),
+            ),
+            bf=bf,
+            th_depth=th_depth,
+            depth_factor=(
+                1.0 / s.depth_map_factor if s.depth_map_factor else 1.0
+            ),
+            imu=imu_cfg,
+            kf_max_interval=int(round(s.fps)) if s.fps else 30,
+        )
+        self.tracker = Tracker(cfg)
+        self.use_viewer = use_viewer  # rendering is offline (utils/viewer)
+        self.timers = timers_mod.StageTimers()
+        self._shutdown = False
+        if load_atlas or s.load_atlas:
+            self._load_atlas(load_atlas or s.load_atlas)
+
+    # ------------------------------------------------------------------
+    # Per-frame entry points (System::TrackMonocular/Stereo/RGBD)
+    # ------------------------------------------------------------------
+
+    def _preprocess(self, img: np.ndarray) -> np.ndarray:
+        if img.ndim == 3:  # RGB/BGR -> gray (cvtColor in Track*)
+            img = img @ np.array([0.299, 0.587, 0.114], img.dtype)
+        if self._resize is not None and img.shape != self._resize:
+            import jax.numpy as jnp
+
+            from ..ops.image import resize_bilinear
+
+            img = np.asarray(
+                resize_bilinear(jnp.asarray(img, jnp.float32), self._resize)
+            )
+        return np.ascontiguousarray(img, np.float32)
+
+    def track_monocular(
+        self, img: np.ndarray, timestamp: float, imu: np.ndarray | None = None
+    ) -> np.ndarray | None:
+        if self._shutdown:
+            raise RuntimeError("System was shut down")
+        t0 = time.perf_counter()
+        T = self.tracker.track(self._preprocess(img), timestamp, imu=imu)
+        self.timers.add("track_total", time.perf_counter() - t0)
+        return T
+
+    def track_stereo(
+        self,
+        img_left: np.ndarray,
+        img_right: np.ndarray,
+        timestamp: float,
+        imu: np.ndarray | None = None,
+    ) -> np.ndarray | None:
+        if self._shutdown:
+            raise RuntimeError("System was shut down")
+        t0 = time.perf_counter()
+        T = self.tracker.track_stereo(
+            self._preprocess(img_left), self._preprocess(img_right),
+            timestamp, imu=imu,
+        )
+        self.timers.add("track_total", time.perf_counter() - t0)
+        return T
+
+    def track_rgbd(
+        self,
+        img: np.ndarray,
+        depth: np.ndarray,
+        timestamp: float,
+        imu: np.ndarray | None = None,
+    ) -> np.ndarray | None:
+        if self._shutdown:
+            raise RuntimeError("System was shut down")
+        t0 = time.perf_counter()
+        depth = np.asarray(depth, np.float32)
+        if self._resize is not None and depth.shape != self._resize:
+            import jax.numpy as jnp
+
+            from ..ops.image import resize_bilinear
+
+            depth = np.asarray(
+                resize_bilinear(jnp.asarray(depth), self._resize)
+            )
+        T = self.tracker.track_rgbd(
+            self._preprocess(img), depth, timestamp, imu=imu
+        )
+        self.timers.add("track_total", time.perf_counter() - t0)
+        return T
+
+    # ------------------------------------------------------------------
+    # Mode switches / state (ActivateLocalizationMode, GetTrackingState)
+    # ------------------------------------------------------------------
+
+    def activate_localization_mode(self):
+        """Camera-only tracking; mapping is paused
+        (System::ActivateLocalizationMode, src/System.cc:540)."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.localization_only = False
+
+    def get_tracking_state(self) -> TrackState:
+        return self.tracker.state
+
+    def reset(self):
+        """System::Reset: drop everything and start over."""
+        cfg = self.tracker.cfg
+        self.tracker = Tracker(cfg)
+
+    def reset_active_map(self):
+        self.tracker._spawn_or_reset_map()
+
+    def is_lost(self) -> bool:
+        return self.tracker.state in (TrackState.LOST, TrackState.RECENTLY_LOST)
+
+    @property
+    def atlas(self):
+        return self.tracker.atlas
+
+    # ------------------------------------------------------------------
+    # Trajectory export (SaveTrajectoryTUM/EuRoC/KITTI, src/System.cc:628+)
+    # ------------------------------------------------------------------
+
+    def save_trajectory_tum(self, path: str):
+        ts, Twc = self.tracker.export_trajectory()
+        write_tum(path, ts, Twc)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        m = self.tracker.map
+        ks = np.nonzero(m.kf_valid)[0]
+        ks = ks[np.argsort(m.kf_timestamp[ks])]
+        Twc = np.tile(np.eye(4), (len(ks), 1, 1))
+        for i, k in enumerate(ks):
+            Twc[i, :3, :3] = m.kf_R[k].T
+            Twc[i, :3, 3] = -m.kf_R[k].T @ m.kf_t[k]
+        write_tum(path, m.kf_timestamp[ks], Twc)
+
+    def save_trajectory_euroc(self, path: str):
+        """EuRoC convention: body poses when inertial, camera otherwise,
+        TUM line format (SaveTrajectoryEuRoC, src/System.cc:723)."""
+        ts, Twc = self.tracker.export_trajectory()
+        if self.tracker.inertial:
+            Tbc = np.eye(4, dtype=np.float64)
+            Tbc[:3, :3] = self.tracker.Rbc
+            Tbc[:3, 3] = self.tracker.tbc
+            Twc = Twc @ np.linalg.inv(Tbc)[None]
+        write_tum(path, ts, Twc)
+
+    def save_trajectory_kitti(self, path: str):
+        ts, Twc = self.tracker.export_trajectory()
+        write_kitti(path, Twc)
+
+    # ------------------------------------------------------------------
+    # Atlas persistence (SaveAtlas/LoadAtlas)
+    # ------------------------------------------------------------------
+
+    def save_atlas(self, path: str):
+        kfdb = self.tracker.kfdb
+        extra = {
+            "sensor": self.sensor.name,
+            "kfdb_seed": kfdb._seed,
+            "kfdb_n_words": kfdb.n_words,
+        }
+        checkpoint.save_atlas(self.tracker.atlas, path, extra=extra)
+        log.info("atlas saved to %s", path)
+
+    def _load_atlas(self, path: str):
+        tr = self.tracker
+        atlas, extra = checkpoint.load_atlas(path, imu_calib=tr.imu_calib)
+        if extra.get("kfdb_seed") is not None and (
+            extra["kfdb_seed"] != tr.kfdb._seed
+            or extra["kfdb_n_words"] != tr.kfdb.n_words
+        ):
+            # The reference refuses an atlas bound to a different
+            # vocabulary (MD5 check, src/System.cc:1532).
+            raise ValueError("atlas was built with a different retrieval codebook")
+        tr.atlas = atlas
+        if tr.loop_closer is not None:
+            tr.loop_closer.atlas = atlas
+        # Rebuild the keyframe database from stored descriptors.
+        tr.kfdb.clear()
+        for m in atlas.maps:
+            for k in np.nonzero(m.kf_valid)[0]:
+                bits = np.unpackbits(
+                    m.kf_desc[k].view(np.uint8), axis=-1, bitorder="little"
+                ).astype(np.int8)
+                tr.kfdb.add(
+                    tr._gid(int(k), m.map_id), bits, m.kf_feat_valid[k]
+                )
+        # Resume tracking by relocalization against the loaded map.
+        tr.state = TrackState.LOST
+        tr.last = None
+        tr.init_ref = None
+        log.info(
+            "atlas loaded from %s: %d maps, active map %d (%d KFs)",
+            path, atlas.n_maps(), atlas.active.map_id,
+            atlas.active.n_keyframes(),
+        )
+
+    # ------------------------------------------------------------------
+    # Shutdown
+    # ------------------------------------------------------------------
+
+    def shutdown(self, save_atlas_path: str | None = None):
+        """System::Shutdown: flush, optionally checkpoint, print timing
+        stats (Tracking::PrintTimeStats analog)."""
+        if save_atlas_path or self.settings.save_atlas:
+            self.save_atlas(save_atlas_path or self.settings.save_atlas)
+        stats = self.timers.summary()
+        tr_stats = self.tracker.timers.summary()
+        for name, s in {**stats, **tr_stats}.items():
+            log.info(
+                "%-16s mean %.2f ms  p95 %.2f ms  (%d calls)",
+                name, s["mean_ms"], s["p95_ms"], s["count"],
+            )
+        self._shutdown = True
+        return {**stats, **tr_stats}

@@ -330,6 +330,13 @@ class Tracker:
         self.last_kf_slot = -1  # temporal-chain tail in the active map
         self._kf_inserted_last_frame = False
 
+        # Localization-only mode: track against the existing map, never
+        # insert KFs (System::ActivateLocalizationMode, src/System.cc:540).
+        self.localization_only = False
+        from ..utils.timers import StageTimers
+
+        self.timers = StageTimers()
+
         self.atlas = Atlas(cfg.map_cfg, imu_calib=self.imu_calib)
         self.state = TrackState.NO_IMAGES_YET
         self.last: FrameData | None = None
@@ -382,7 +389,9 @@ class Tracker:
         return k
 
     def _extract(self, img: np.ndarray, timestamp: float) -> FrameData:
-        feats = orb.extract_orb_jit(jnp.asarray(img, jnp.float32), self.cfg.orb)
+        with self.timers.span("orb_extract"):
+            feats = orb.extract_orb_jit(jnp.asarray(img, jnp.float32), self.cfg.orb)
+            jax.block_until_ready(feats.xy)
         xy_ud = undistort_points(self.cam, feats.xy)
         n = self.cfg.orb.n_features
         fd = FrameData(
@@ -1172,8 +1181,9 @@ class Tracker:
             else:
                 need = need or (dt_kf >= 0.5 and n_in > 15)
         self._kf_inserted_last_frame = False
-        if need:
-            self._insert_keyframe(frame)
+        if need and not self.localization_only:
+            with self.timers.span("new_kf"):
+                self._insert_keyframe(frame)
         if self.inertial:
             Rwb, p = self._body_from_cam_np(frame.R, frame.t)
             self.last_body = (Rwb, p, self.cur_v.copy())
@@ -1335,6 +1345,9 @@ class Tracker:
         # IMU initialization ladder (LocalMapping::Run :232-286).
         if self.inertial:
             self._imu_ladder(frame, k)
+
+        # Redundant-keyframe culling (LocalMapping::KeyFrameCulling).
+        self._cull_keyframes(k)
 
         # Place recognition: loop detection/correction, then register the
         # keyframe in the database (LoopClosing::InsertKeyFrame handoff).
@@ -1817,6 +1830,77 @@ class Tracker:
         m.add_observation(k1, f1, ids)
         m.add_observation(k2, f2, ids)
         return [int(i) for i in ids]
+
+    def _cull_keyframes(self, k: int):
+        """Remove covisible keyframes whose landmarks are >=90% redundant:
+        seen by >=3 other keyframes at the same or finer scale (level <=
+        l+1) — LocalMapping::KeyFrameCulling (src/LocalMapping.cc:935-1078).
+        Inertial guard: never open a temporal gap >3 s in the
+        preintegration chain (:1033)."""
+        m = self.map
+        neigh, _ = m.covisible_keyframes(k, min_weight=15)
+        if len(neigh) == 0:
+            return
+        valid_ids = np.nonzero(m.kf_valid)[0]
+        fid_min = int(m.kf_frame_id[valid_ids].min())
+        n_culled = 0
+        for kf in [int(x) for x in neigh]:
+            if n_culled >= 2:  # bound work per insertion
+                break
+            if kf in (k, self.ref_kf, self.last_kf_slot):
+                continue
+            if int(m.kf_frame_id[kf]) == fid_min:  # map origin
+                continue
+            if self.inertial:
+                p, nx = int(m.kf_prev[kf]), int(m.kf_next[kf])
+                if p < 0 or nx < 0:
+                    continue
+                if float(m.kf_timestamp[nx] - m.kf_timestamp[p]) > 3.0:
+                    continue
+            lm = m.kf_lm_idx[kf]
+            f = np.nonzero(lm >= 0)[0]
+            if len(f) < 10:
+                continue
+            lm_sel = lm[f]
+            lvl_kf = m.kf_level[kf, f]
+            obs_kfs = np.nonzero(m.obs[:, lm_sel].any(axis=1) & m.kf_valid)[0]
+            count = np.zeros(len(lm_sel), np.int32)
+            for k2 in obs_kfs:
+                if k2 == kf:
+                    continue
+                lut = np.full(m.cfg.max_landmarks, -1, np.int32)
+                fv = np.nonzero(m.kf_lm_idx[k2] >= 0)[0]
+                lut[m.kf_lm_idx[k2, fv]] = m.kf_level[k2, fv]
+                l2 = lut[lm_sel]
+                count += ((l2 >= 0) & (l2 <= lvl_kf + 1)).astype(np.int32)
+            redundant = count >= 3
+            if redundant.mean() < 0.9:
+                continue
+            self._remove_keyframe_full(kf)
+            n_culled += 1
+        if n_culled:
+            log.info("culled %d redundant keyframes", n_culled)
+
+    def _remove_keyframe_full(self, kf: int):
+        """Cull one keyframe: re-anchor trajectory entries that reference
+        it (the reference walks the spanning tree at export instead,
+        src/System.cc:793-796), drop it from the retrieval database, and
+        splice the inertial chain."""
+        m = self.map
+        nb, _ = m.covisible_keyframes(kf, min_weight=1, top=1)
+        rep = int(nb[0]) if len(nb) else int(m.kf_prev[kf])
+        if rep >= 0 and m.kf_valid[rep]:
+            R_rp = m.kf_R[kf] @ m.kf_R[rep].T
+            t_rp = m.kf_t[kf] - R_rp @ m.kf_t[rep]
+            for i, (fid, t, mid, rk, R_cr, t_cr) in enumerate(self.trajectory):
+                if mid == m.map_id and rk == kf:
+                    self.trajectory[i] = (
+                        fid, t, mid, rep,
+                        (R_cr @ R_rp).astype(np.float32),
+                        (R_cr @ t_rp + t_cr).astype(np.float32),
+                    )
+        self.kfdb.erase(self._gid(kf))
+        m.remove_keyframe(kf)
 
     def _cull_landmarks(self):
         """Remove landmarks with poor found/visible ratio or too few
