@@ -1,0 +1,69 @@
+"""Shared CLI driver scaffolding for the example mains.
+
+Replaces the per-dataset boost::program_options parsing + frame loop of
+the reference's Examples/*/*.cc (e.g. Examples/Monocular/mono_euroc.cc):
+load sequence -> construct System -> feed frames (with synced IMU
+batches for inertial configs) -> Shutdown -> save trajectories.
+
+No vocabulary argument: the TPU build trains its retrieval codebook
+online from the session's own descriptors (runtime/keyframe_database.py),
+replacing the 145 MB ORBvoc.txt artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("settings", help="File.version 1.0 YAML settings")
+    p.add_argument("dataset_root", help="dataset root directory")
+    p.add_argument("sequence", help="sequence name")
+    p.add_argument("--timestamps", default=None, help="timestamp list file")
+    p.add_argument("--traj", default="CameraTrajectory.txt")
+    p.add_argument("--kf-traj", default="KeyFrameTrajectory.txt")
+    p.add_argument("--save-atlas", default=None)
+    p.add_argument("--load-atlas", default=None)
+    p.add_argument("--localization", action="store_true",
+                   help="localization-only mode (no mapping)")
+    p.add_argument("--realtime", action="store_true",
+                   help="sleep to dataset timestamps like the reference")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--log-level", default="INFO")
+    return p
+
+
+def setup_logging(level: str):
+    logging.basicConfig(
+        level=getattr(logging, level.upper()),
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        stream=sys.stderr,
+    )
+
+
+def pace(t_prev: float | None, t_now: float, wall_prev: float | None):
+    """Sleep so frames are delivered at dataset rate
+    (Examples/Monocular/mono_euroc.cc:168-176)."""
+    wall_now = time.monotonic()
+    if t_prev is not None and wall_prev is not None:
+        dt_data = t_now - t_prev
+        dt_wall = wall_now - wall_prev
+        if dt_wall < dt_data:
+            time.sleep(dt_data - dt_wall)
+    return time.monotonic()
+
+
+def finish(slam, args, stamps=None):
+    slam.save_trajectory_tum(args.traj)
+    slam.save_keyframe_trajectory_tum(args.kf_traj)
+    stats = slam.shutdown(save_atlas_path=args.save_atlas)
+    tt = stats.get("track_total")
+    if tt:
+        print(
+            f"frames: {tt['count']}  mean track: {tt['mean_ms']:.1f} ms "
+            f"({1000.0 / max(tt['mean_ms'], 1e-9):.1f} fps)"
+        )
