@@ -272,40 +272,22 @@ def compute_angles(img: jax.Array, xy: jax.Array) -> jax.Array:
 def compute_descriptors(
     blurred: jax.Array, xy: jax.Array, angle: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
-    """Steered BRIEF-256. Returns (packed uint32 (N,8), bits int8 (N,256))."""
-    h, w = blurred.shape
-    pat = jnp.asarray(_PATTERN, dtype=jnp.float32)  # (256,4) x1,y1,x2,y2
-    ax = pat[:, 0]
-    ay = pat[:, 1]
-    bx = pat[:, 2]
-    by = pat[:, 3]
-    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (N,)
+    """Steered BRIEF-256. Returns (packed uint32 (N,8), bits int8 (N,256)).
 
-    def rot(px, py):
-        # (N,256) rotated integer offsets (reference computeOrbDescriptor
-        # GET_VALUE: cvRound(px*b + py*a), cvRound(px*a - py*b) with
-        # a=cos, b=sin; x' = px cos - py sin, y' = px sin + py cos.)
-        rx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None])
-        ry = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None])
-        return rx.astype(jnp.int32), ry.astype(jnp.int32)
+    TPU path (ops/patches.py): Pallas patch gather + one MXU matmul over
+    the 30-bin rotated-pattern difference table (angle quantized to
+    12 deg as in the ORB paper), replacing 512 serial pixel gathers per
+    keypoint (reference computeOrbDescriptor, src/ORBextractor.cc:94).
+    """
+    from . import patches as patches_mod
 
-    axr, ayr = rot(ax, ay)
-    bxr, byr = rot(bx, by)
-    x0 = xy[:, 0:1]
-    y0 = xy[:, 1:2]
-
-    def sample(xr, yr):
-        xi = jnp.clip(x0 + xr, 0, w - 1)
-        yi = jnp.clip(y0 + yr, 0, h - 1)
-        return blurred[yi, xi]
-
-    va = sample(axr, ayr)
-    vb = sample(bxr, byr)
-    bits = (va < vb).astype(jnp.uint32)  # (N,256)
+    p = patches_mod.extract_patches(blurred, xy)
+    bits8 = patches_mod.brief_from_patches(p, angle)  # (N,256) int8
+    bits = bits8.astype(jnp.uint32)
     # Pack: bit j of word i is pair (i*32 + j).
     shifts = jnp.arange(32, dtype=jnp.uint32)
     words = jnp.sum(bits.reshape(-1, 8, 32) << shifts[None, None, :], axis=-1)
-    return words.astype(jnp.uint32), bits.astype(jnp.int8)
+    return words.astype(jnp.uint32), bits8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,168 @@
+"""Per-keypoint patch extraction and matmul-BRIEF — the descriptor hot path.
+
+The reference computes steered BRIEF with 512 random-access pixel reads
+per keypoint (computeOrbDescriptor, src/ORBextractor.cc:94-140). XLA
+lowers that to per-element gathers, which TPUs execute serially (~7 ms
+for a 1000-feature frame). The TPU-native design splits the work into
+two hardware-friendly stages:
+
+1. **Patch gather (Pallas).** A kernel with the (padded) pyramid level
+   resident in VMEM and keypoint coords scalar-prefetched into SMEM
+   copies one 40x128 window per keypoint using tile-aligned dynamic
+   slices. Mosaic requires sublane starts %8 and lane starts %128, so
+   the kernel loads a 48x256 aligned superset, fixes the row residual
+   with an exact 8-way select, and the lane residual with a dynamic
+   `pltpu.roll` (lane rolls are exact; dynamic *sublane* rolls miscompile
+   on this backend — do not "simplify" back to a roll, and a one-hot
+   matmul shift is bf16-rounded on the MXU, so neither alternative is
+   exact). ~25x faster than the XLA gather path.
+
+2. **BRIEF as one MXU matmul.** Orientation is quantized to 30 bins of
+   12 deg — the ORB paper's own lookup-table discretization — so the
+   256 (a, b) sample-pair offsets depend only on the bin. Each bin's
+   comparisons become a {-1,0,+1} difference matrix over the flattened
+   patch; stacking bins gives one (P, 30*256) constant. All bits for all
+   keypoints and all bins are then a single (N, P) x (P, 30*256) matmul,
+   with the keypoint's own bin selected by a masked sum (no gather).
+
+Patch values are exact f32; the descriptor matmul runs in bf16 (pixel
+error <= 0.5 gray level), which can only flip comparisons that are
+near-exact ties — the same bits that camera noise flips anyway.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RAD = 19  # max rotated BRIEF offset: ceil(13 * sqrt(2))
+PATCH_ROWS = 40  # covers offsets -19..+20
+PATCH_COLS = 40
+N_ANGLE_BINS = 30  # 12-degree bins, as in the ORB paper's pattern LUTs
+_BK = 128  # keypoints per kernel program
+
+
+def _patch_kernel(xy_ref, img_ref, out_ref):
+    i = pl.program_id(0)
+
+    def body(k, _):
+        n = i * _BK + k
+        x = xy_ref[n, 0]
+        y = xy_ref[n, 1]
+        y8 = (y // 8) * 8
+        x128 = (x // 128) * 128
+        dy = y - y8
+        dx = x - x128
+        win = img_ref[pl.ds(y8, 48), pl.ds(x128, 256)]
+        # Exact row-residual shift: dy in [0, 8).
+        win40 = win[0:PATCH_ROWS]
+        for s in range(1, 8):
+            win40 = jnp.where(dy == s, win[s : s + PATCH_ROWS], win40)
+        win40 = pltpu.roll(win40, -dx, 1)
+        out_ref[k] = win40[:, :128]
+        return 0
+
+    jax.lax.fori_loop(0, _BK, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _extract_patches_tpu(padded: jax.Array, xy: jax.Array, interpret: bool = False):
+    n = xy.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // _BK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (_BK, PATCH_ROWS, 128), lambda i, xy_pref: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _patch_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, PATCH_ROWS, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(xy, padded)
+
+
+def extract_patches(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """(H,W) image + (N,2) int32 (x,y) -> (N, 40, 40) patches.
+
+    patch[n, r, c] = edge-padded img[y_n + r - 19, x_n + c - 19]; the
+    keypoint sits at patch[19, 19]. Matches the reference's
+    clip-to-border sampling (edge replication == coordinate clamp).
+    """
+    n = xy.shape[0]
+    h, w = img.shape
+    x = jnp.clip(xy[:, 0], 0, w - 1)
+    y = jnp.clip(xy[:, 1], 0, h - 1)
+    xy_c = jnp.stack([x, y], axis=-1).astype(jnp.int32)
+    if jax.default_backend() == "tpu":
+        # Pad so every aligned 48x256 window load is in bounds:
+        # rows: start <= (h-1) -> end <= h+47 <= h + 19 + 29; cols:
+        # start <= floor((w+18)/128)*128 -> end <= w + 18 + 256.
+        padded = jnp.pad(img, ((RAD, 29), (RAD, 256 + 19)), mode="edge")
+        n_pad = -n % _BK
+        xy_p = jnp.pad(xy_c, ((0, n_pad), (0, 0)))
+        out = _extract_patches_tpu(padded, xy_p)
+        return out[:n, :, :PATCH_COLS]
+    padded = jnp.pad(img, ((RAD, RAD + 2), (RAD, RAD + 2)), mode="edge")
+    slc = lambda yy, xx: jax.lax.dynamic_slice(
+        padded, (yy, xx), (PATCH_ROWS, PATCH_COLS)
+    )
+    return jax.vmap(slc)(y, x)
+
+
+@functools.lru_cache(maxsize=None)
+def _brief_diff_table() -> np.ndarray:
+    """(P, N_ANGLE_BINS*256) difference matrix: column (b*256+k) holds -1 at
+    pair k's rotated a-point and +1 at its b-point for angle bin b, in
+    flattened 40x40 patch coordinates (offset + RAD)."""
+    from .orb import _PATTERN  # (256,4) int32, OpenCV bit_pattern_31
+
+    pat = np.asarray(_PATTERN, dtype=np.float64)
+    p = PATCH_ROWS * PATCH_COLS
+    d = np.zeros((p, N_ANGLE_BINS * 256), np.float32)
+    for b in range(N_ANGLE_BINS):
+        th = 2.0 * np.pi * b / N_ANGLE_BINS
+        ca, sa = np.cos(th), np.sin(th)
+        for k in range(256):
+            ax, ay, bx, by = pat[k]
+            # Reference rotation (computeOrbDescriptor GET_VALUE):
+            # x' = round(x cos - y sin), y' = round(x sin + y cos).
+            rxa = int(round(ax * ca - ay * sa)) + RAD
+            rya = int(round(ax * sa + ay * ca)) + RAD
+            rxb = int(round(bx * ca - by * sa)) + RAD
+            ryb = int(round(bx * sa + by * ca)) + RAD
+            d[rya * PATCH_COLS + rxa, b * 256 + k] -= 1.0
+            d[ryb * PATCH_COLS + rxb, b * 256 + k] += 1.0
+    return d
+
+
+def quantize_angle(angle: jax.Array) -> jax.Array:
+    """Angle (radians) -> bin index in [0, N_ANGLE_BINS)."""
+    b = jnp.round(angle * (N_ANGLE_BINS / (2.0 * jnp.pi))).astype(jnp.int32)
+    return jnp.mod(b, N_ANGLE_BINS)
+
+
+def brief_from_patches(patches: jax.Array, angle: jax.Array) -> jax.Array:
+    """(N,40,40) patches + (N,) angle -> (N,256) int8 bits.
+
+    bit k = 1 iff I(a_k) < I(b_k) at the keypoint's quantized rotation.
+    """
+    n = patches.shape[0]
+    d = jnp.asarray(_brief_diff_table(), dtype=jnp.bfloat16)
+    flat = patches.reshape(n, -1).astype(jnp.bfloat16)
+    diff = jax.lax.dot_general(
+        flat, d, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).reshape(n, N_ANGLE_BINS, 256)
+    bins = quantize_angle(angle)
+    onehot = (
+        bins[:, None] == jnp.arange(N_ANGLE_BINS, dtype=jnp.int32)[None, :]
+    ).astype(diff.dtype)
+    sel = jnp.einsum("nbk,nb->nk", diff, onehot)
+    return (sel > 0).astype(jnp.int8)
