@@ -1,0 +1,37 @@
+"""Monocular KITTI driver (reference Examples/Monocular/mono_kitti.cc).
+
+Usage: python examples/mono_kitti.py KITTI00-02.yaml /data/kitti 00
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from examples.common import base_parser, finish, pace, setup_logging
+from orbslam3_cpp_fork_tpu.datasets import kitti
+from orbslam3_cpp_fork_tpu.runtime.system import System
+from orbslam3_cpp_fork_tpu.runtime.tracker import Sensor
+
+
+def main():
+    args = base_parser(__doc__).parse_args()
+    setup_logging(args.log_level)
+    seq = kitti.load_sequence(args.dataset_root, args.sequence, stereo=False)
+    slam = System(args.settings, Sensor.MONOCULAR, load_atlas=args.load_atlas)
+    if args.localization:
+        slam.activate_localization_mode()
+    wall = t_prev = None
+    n = len(seq.image_paths) if args.max_frames is None else args.max_frames
+    for i in range(n):
+        t = float(seq.timestamps[i])
+        img = kitti.load_gray(seq.image_paths[i])
+        if args.realtime:
+            wall = pace(t_prev, t, wall)
+        slam.track_monocular(img, t)
+        t_prev = t
+    finish(slam, args)
+
+
+if __name__ == "__main__":
+    main()

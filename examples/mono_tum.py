@@ -1,0 +1,38 @@
+"""Monocular TUM RGB-D driver (reference Examples/Monocular/mono_tum.cc):
+uses only the RGB stream of a TUM RGB-D sequence.
+
+Usage: python examples/mono_tum.py TUM1.yaml /data/tum rgbd_dataset_freiburg1_xyz
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from examples.common import base_parser, finish, pace, setup_logging
+from orbslam3_cpp_fork_tpu.datasets import tum
+from orbslam3_cpp_fork_tpu.runtime.system import System
+from orbslam3_cpp_fork_tpu.runtime.tracker import Sensor
+
+
+def main():
+    args = base_parser(__doc__).parse_args()
+    setup_logging(args.log_level)
+    seq = tum.load_sequence(args.dataset_root, args.sequence)
+    slam = System(args.settings, Sensor.MONOCULAR, load_atlas=args.load_atlas)
+    if args.localization:
+        slam.activate_localization_mode()
+    wall = t_prev = None
+    n = len(seq.rgb_paths) if args.max_frames is None else args.max_frames
+    for i in range(n):
+        t = float(seq.timestamps[i])
+        img = tum.load_gray(seq.rgb_paths[i])
+        if args.realtime:
+            wall = pace(t_prev, t, wall)
+        slam.track_monocular(img, t)
+        t_prev = t
+    finish(slam, args)
+
+
+if __name__ == "__main__":
+    main()

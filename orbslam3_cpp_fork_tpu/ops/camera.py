@@ -192,13 +192,22 @@ def project_jacobian(cam: Camera, pc: jax.Array) -> jax.Array:
 def undistort_points(cam: Camera, uv: jax.Array) -> jax.Array:
     """Map raw pixel keypoints to ideal-pinhole pixel coordinates.
 
-    Mirrors Frame::UndistortKeyPoints (src/Frame.cc:886-943): for pinhole
-    with distortion, undistort then reproject with K; for KB8 the
-    reference keeps raw coordinates (mpCamera handles projection), so we
-    return uv unchanged.
+    Mirrors Frame::UndistortKeyPoints (src/Frame.cc:886-943) for pinhole
+    with distortion: undistort then reproject with K. For KB8 the
+    reference keeps raw coordinates and projects through the native model
+    inside every residual (mpCamera in the g2o edges); our batched
+    optimizers use a single pinhole residual, so fisheye keypoints are
+    mapped onto the ideal pinhole plane here instead. The bearing's z is
+    clamped (theta <= ~84 deg) so periphery features of a ~195 deg FOV
+    lens stay bounded — they become unmatched outliers rather than infs.
     """
     if cam.kind != PINHOLE:
-        return uv
+        b = unproject(cam, uv)  # z=1 plane, radius tan(theta)
+        r = jnp.sqrt(b[..., 0] ** 2 + b[..., 1] ** 2)
+        s = jnp.minimum(1.0, 9.5 / jnp.maximum(r, 1e-9))  # theta <= ~84 deg
+        u = cam.fx * b[..., 0] * s + cam.cx
+        v = cam.fy * b[..., 1] * s + cam.cy
+        return jnp.stack([u, v], axis=-1)
     b = unproject(cam, uv)
     u = cam.fx * b[..., 0] + cam.cx
     v = cam.fy * b[..., 1] + cam.cy

@@ -191,3 +191,79 @@ def depth_to_stereo(depth_map, xy_raw, bf, depth_factor):
     depth = jnp.where(ok, d, -1.0)
     ur = jnp.where(ok, xy_raw[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0)
     return ur, depth, ok
+
+
+@partial(jax.jit, static_argnames=())
+def match_stereo_fisheye(
+    bits_l, xy_l, level_l, valid_l,
+    bits_r, xy_r, level_r, valid_r,
+    cam_l, cam_r, R_rl, t_rl,
+    lap_l_start, lap_r_end,
+    max_hamming=TH_ORB, max_cos_parallax=0.9998, chi2_th=5.991,
+):
+    """Unrectified (fisheye) stereo matching + triangulation.
+
+    TPU redesign of Frame::ComputeStereoFishEyeMatches (src/Frame.cc:1304)
+    + KannalaBrandt8::TriangulateMatches (src/CameraModels/
+    KannalaBrandt8.cpp:364): instead of BoW-node-aligned candidate loops,
+    one dense Hamming matrix restricted to the lapping areas
+    (u_L >= lap_l_start, u_R <= lap_r_end), mutual-best + threshold, then
+    batched midpoint-free DLT triangulation on the unprojected rays with
+    the reference's acceptance gates: parallax (cos < 0.9998), positive
+    depth in both cameras, reprojection chi2 < 5.991 * sigma2 in both.
+
+    R_rl/t_rl: left-camera -> right-camera transform (reference mTrl).
+    Returns (depth_l (N,), ray_l (N,3) unit bearings, ok (N,)).
+    Depth is the z-coordinate in the left camera of the triangulated
+    point (used to seed stereo observations like the rectified path).
+    """
+    from . import camera as cam_mod
+    from . import geometry
+
+    dist = matching.hamming_matrix(bits_l, bits_r).astype(jnp.float32)
+    in_lap = (xy_l[:, 0:1] >= lap_l_start) & (xy_r[None, :, 0] <= lap_r_end)
+    pen = jnp.where(in_lap, 0.0, INF)
+    # Same-or-adjacent pyramid level gate (reference checks scale
+    # consistency through the BoW node structure; +-1 octave here).
+    lvl_ok = jnp.abs(level_l[:, None] - level_r[None, :]) <= 1
+    pen = jnp.where(lvl_ok, pen, INF)
+    idx, ok = matching.match_nn(
+        dist, valid_l, valid_r, max_dist=max_hamming, ratio=1.0,
+        cross_check=True, extra_penalty=pen,
+    )
+
+    ray_l = cam_mod.unproject(cam_l, xy_l)  # (N,3) unit-ish bearings
+    ray_r = cam_mod.unproject(cam_r, xy_r[idx])
+    ray_l = ray_l / jnp.linalg.norm(ray_l, axis=-1, keepdims=True)
+    ray_r = ray_r / jnp.linalg.norm(ray_r, axis=-1, keepdims=True)
+    # Parallax between rays expressed in the left frame
+    # (KannalaBrandt8.cpp:380-388).
+    ray_r_in_l = jnp.einsum("ji,nj->ni", R_rl, ray_r - 0.0)  # R_lr = R_rl^T
+    cosp = jnp.sum(ray_l * ray_r_in_l, axis=-1)
+    ok = ok & (cosp < max_cos_parallax) & (cosp > 0.0)
+
+    # Triangulate on the normalized image planes of both cameras.
+    eye = jnp.eye(3, dtype=xy_l.dtype)
+    P1 = jnp.concatenate([eye, jnp.zeros((3, 1), xy_l.dtype)], axis=1)
+    P2 = jnp.concatenate([R_rl, t_rl[:, None]], axis=1)
+    x1 = ray_l[:, :2] / jnp.maximum(ray_l[:, 2:3], 1e-6)
+    x2 = ray_r[:, :2] / jnp.maximum(ray_r[:, 2:3], 1e-6)
+    X = geometry.triangulate_dlt(
+        jnp.broadcast_to(P1, (x1.shape[0], 3, 4)),
+        jnp.broadcast_to(P2, (x1.shape[0], 3, 4)),
+        x1, x2,
+    )  # (N,3) in left camera
+    z1 = X[:, 2]
+    Xr = jnp.einsum("ij,nj->ni", R_rl, X) + t_rl
+    z2 = Xr[:, 2]
+    ok = ok & (z1 > 0) & (z2 > 0)
+    # Reprojection gates in both images (KannalaBrandt8.cpp:414-433).
+    uv1 = cam_mod.project(cam_l, X)
+    uv2 = cam_mod.project(cam_r, Xr)
+    sigma2_l = SCALE_FACTOR ** (2.0 * level_l.astype(jnp.float32))
+    sigma2_r = SCALE_FACTOR ** (2.0 * level_r[idx].astype(jnp.float32))
+    e1 = jnp.sum((uv1 - xy_l) ** 2, axis=-1)
+    e2 = jnp.sum((uv2 - xy_r[idx]) ** 2, axis=-1)
+    ok = ok & (e1 <= chi2_th * sigma2_l) & (e2 <= chi2_th * sigma2_r)
+    depth = jnp.where(ok, z1, -1.0)
+    return depth, ray_l, ok

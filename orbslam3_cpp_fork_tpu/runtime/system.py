@@ -71,8 +71,33 @@ class System:
                 Tbc=s.imu.Tbc,
             )
         bf = (s.bf or 0.0) * self._scale_x
+        # Unrectified fisheye rig (TUM-VI): Camera2 + Stereo.T_c1_c2
+        # (left-from-right). The tracker wants T_rl (right-from-left =
+        # inverse) and bf derived from the baseline (Settings.cc computes
+        # b = |t_c1_c2|, bf = b * fx when no Camera.bf key).
+        fisheye_kw = {}
+        if (
+            s.camera2 is not None
+            and s.camera_type == "KannalaBrandt8"
+            and sensor in (Sensor.STEREO, Sensor.IMU_STEREO)
+        ):
+            T12 = np.asarray(s.Tlr, np.float64)  # x_l = R12 x_r + t12
+            R_rl = T12[:3, :3].T
+            t_rl = -R_rl @ T12[:3, 3]
+            cam2 = s.camera2
+            if self._resize:
+                cam2 = cam2.scaled(self._scale_x, self._scale_y)
+            if not bf:
+                bf = float(np.linalg.norm(T12[:3, 3])) * float(cam.K[0, 0])
+            fisheye_kw = dict(
+                camera2=cam2,
+                R_rl=R_rl.astype(np.float32),
+                t_rl=t_rl.astype(np.float32),
+                lapping_l=tuple(s.lapping1 or (0.0, 1e9)),
+                lapping_r=tuple(s.lapping2 or (0.0, 1e9)),
+            )
         th_depth = 0.0
-        if s.stereo_th_depth and s.bf:
+        if s.stereo_th_depth and bf:
             # mThDepth = bf * ThDepth / fx (src/Settings.cc & Tracking.cc).
             th_depth = bf * s.stereo_th_depth / float(cam.K[0, 0])
         cfg = TrackerConfig(
@@ -94,9 +119,18 @@ class System:
             ),
             imu=imu_cfg,
             kf_max_interval=int(round(s.fps)) if s.fps else 30,
+            **fisheye_kw,
         )
         self.tracker = Tracker(cfg)
-        self.use_viewer = use_viewer  # rendering is offline (utils/viewer)
+        # Rendering is offline (utils/viewer): snapshots + map exports
+        # written under viewer_out/, the headless analog of the Pangolin
+        # viewer thread (src/System.cc:259).
+        self.use_viewer = use_viewer
+        self.viewer = None
+        if use_viewer:
+            from ..utils.viewer import Viewer as _Viewer
+
+            self.viewer = _Viewer("viewer_out", frame_every=30)
         self.timers = timers_mod.StageTimers()
         self._shutdown = False
         if load_atlas or s.load_atlas:
@@ -125,8 +159,10 @@ class System:
         if self._shutdown:
             raise RuntimeError("System was shut down")
         t0 = time.perf_counter()
-        T = self.tracker.track(self._preprocess(img), timestamp, imu=imu)
+        img_p = self._preprocess(img)
+        T = self.tracker.track(img_p, timestamp, imu=imu)
         self.timers.add("track_total", time.perf_counter() - t0)
+        self._viewer_update(img_p)
         return T
 
     def track_stereo(
@@ -139,11 +175,12 @@ class System:
         if self._shutdown:
             raise RuntimeError("System was shut down")
         t0 = time.perf_counter()
+        img_l = self._preprocess(img_left)
         T = self.tracker.track_stereo(
-            self._preprocess(img_left), self._preprocess(img_right),
-            timestamp, imu=imu,
+            img_l, self._preprocess(img_right), timestamp, imu=imu,
         )
         self.timers.add("track_total", time.perf_counter() - t0)
+        self._viewer_update(img_l)
         return T
 
     def track_rgbd(
@@ -285,9 +322,26 @@ class System:
     # Shutdown
     # ------------------------------------------------------------------
 
+    def _viewer_update(self, img: np.ndarray):
+        if self.viewer is None:
+            return
+        f = self.tracker.last
+        if f is None:
+            return
+        self.viewer.update(
+            img, f.xy, f.valid, f.lm_idx >= 0,
+            state=self.tracker.state.name,
+        )
+
     def shutdown(self, save_atlas_path: str | None = None):
         """System::Shutdown: flush, optionally checkpoint, print timing
         stats (Tracking::PrintTimeStats analog)."""
+        if self.viewer is not None:
+            m = self.tracker.map
+            # Camera centers: c = -R^T t per keyframe.
+            kf = m.kf_valid
+            centers = -np.einsum("kji,kj->ki", m.kf_R[kf], m.kf_t[kf])
+            self.viewer.finalize(m.lm_pos, centers, point_mask=m.lm_valid)
         if save_atlas_path or self.settings.save_atlas:
             self.save_atlas(save_atlas_path or self.settings.save_atlas)
         stats = self.timers.summary()

@@ -104,6 +104,16 @@ class TrackerConfig:
     bf: float = 0.0
     th_depth: float = 0.0
     depth_factor: float = 1.0  # RGB-D depth map -> meters
+    # Unrectified (fisheye) stereo: right camera, left->right extrinsics
+    # (reference Settings Tlr inverse / mTrl) and lapping-area bounds
+    # (Camera.lappingBegin/End in the TUM-VI YAMLs). When camera2 is set
+    # track_stereo uses descriptor matching + two-view triangulation
+    # instead of the rectified row-band kernel.
+    camera2: Camera | None = None
+    R_rl: np.ndarray | None = None
+    t_rl: np.ndarray | None = None
+    lapping_l: tuple = (0.0, 1e9)  # (begin, end) on the left image
+    lapping_r: tuple = (0.0, 1e9)
     stereo_init_min_features: int = 500  # StereoInitialization (:2246)
     enable_loop_closing: bool = True
     # Matching / tracking thresholds (reference values).
@@ -520,25 +530,50 @@ class Tracker:
         jr = jnp.asarray(img_r, jnp.float32)
         fl = orb.extract_orb_jit(jl, self.cfg.orb)
         fr = orb.extract_orb_jit(jr, self.cfg.orb)
-        min_z = self.cfg.bf / self.fx  # baseline (src/Frame.cc:961)
-        ur, depth, ok = stereo.compute_stereo_matches(
-            jl, jr,
-            fl.desc_i8, fl.xy, fl.level, fl.valid,
-            fr.desc_i8, fr.xy, fr.level, fr.valid,
-            jnp.float32(self.cfg.bf), jnp.float32(min_z),
-        )
+        if self.cfg.camera2 is not None:
+            # Unrectified fisheye rig (TUM-VI): descriptor match in the
+            # lapping areas + batched two-view triangulation
+            # (Frame::ComputeStereoFishEyeMatches, src/Frame.cc:1304).
+            depth, _, ok = stereo.match_stereo_fisheye(
+                fl.desc_i8, fl.xy, fl.level, fl.valid,
+                fr.desc_i8, fr.xy, fr.level, fr.valid,
+                self.cam, self.cfg.camera2,
+                jnp.asarray(self.cfg.R_rl, jnp.float32),
+                jnp.asarray(self.cfg.t_rl, jnp.float32),
+                jnp.float32(self.cfg.lapping_l[0]),
+                jnp.float32(self.cfg.lapping_r[1]),
+            )
+            xy_ud = np.asarray(undistort_points(self.cam, fl.xy))
+            d = np.asarray(depth)
+            okn = np.asarray(ok)
+            ur = np.where(
+                okn, xy_ud[:, 0] - self.cfg.bf / np.maximum(d, 1e-6), -1.0
+            ).astype(np.float32)
+            xy_out, ur_out, d_out = xy_ud, ur, d.astype(np.float32)
+        else:
+            min_z = self.cfg.bf / self.fx  # baseline (src/Frame.cc:961)
+            ur, depth, ok = stereo.compute_stereo_matches(
+                jl, jr,
+                fl.desc_i8, fl.xy, fl.level, fl.valid,
+                fr.desc_i8, fr.xy, fr.level, fr.valid,
+                jnp.float32(self.cfg.bf), jnp.float32(min_z),
+            )
+            # rectified input: keypoints already undistorted
+            xy_out = np.asarray(fl.xy)
+            ur_out = np.asarray(ur)
+            d_out = np.asarray(depth)
         frame = FrameData(
             frame_id=self.frame_id,
             timestamp=timestamp,
-            xy=np.asarray(fl.xy),  # rectified input: keypoints already undistorted
+            xy=xy_out,
             level=np.asarray(fl.level),
             angle=np.asarray(fl.angle),
             desc=np.asarray(fl.desc),
             desc_i8=np.asarray(fl.desc_i8),
             valid=np.asarray(fl.valid),
             lm_idx=np.full(self.cfg.orb.n_features, -1, np.int32),
-            ur=np.asarray(ur),
-            depth=np.asarray(depth),
+            ur=ur_out,
+            depth=d_out,
         )
         return self._process(frame)
 

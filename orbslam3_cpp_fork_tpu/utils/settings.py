@@ -44,6 +44,9 @@ class Settings:
     min_th_fast: int
     camera2: Camera | None = None
     Tlr: np.ndarray | None = None  # stereo extrinsics (4,4)
+    # Fisheye-stereo lapping areas (Camera{1,2}.overlapping{Begin,End}).
+    lapping1: tuple | None = None
+    lapping2: tuple | None = None
     bf: float | None = None
     stereo_th_depth: float | None = None
     imu: ImuSettings | None = None
@@ -136,6 +139,16 @@ def load_settings(path: str) -> Settings:
         ini_th_fast=int(d.get("ORBextractor.iniThFAST", 20)),
         min_th_fast=int(d.get("ORBextractor.minThFAST", 7)),
         Tlr=_matrix(d, "Stereo.T_c1_c2"),
+        lapping1=(
+            (float(d["Camera1.overlappingBegin"]), float(d["Camera1.overlappingEnd"]))
+            if "Camera1.overlappingBegin" in d
+            else None
+        ),
+        lapping2=(
+            (float(d["Camera2.overlappingBegin"]), float(d["Camera2.overlappingEnd"]))
+            if "Camera2.overlappingBegin" in d
+            else None
+        ),
         bf=None if "Camera.bf" not in d else float(d["Camera.bf"]),
         stereo_th_depth=None
         if "Stereo.ThDepth" not in d
