@@ -22,7 +22,12 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=desc)
     p.add_argument("settings", help="File.version 1.0 YAML settings")
     p.add_argument("dataset_root", help="dataset root directory")
-    p.add_argument("sequence", help="sequence name")
+    p.add_argument(
+        "sequence", nargs="+",
+        help="sequence name(s); multiple run back-to-back with "
+        "System.change_dataset() between them (reference multi-session "
+        "runs, Examples/Monocular/mono_euroc.cc num_seq)",
+    )
     p.add_argument("--timestamps", default=None, help="timestamp list file")
     p.add_argument("--traj", default="CameraTrajectory.txt")
     p.add_argument("--kf-traj", default="KeyFrameTrajectory.txt")

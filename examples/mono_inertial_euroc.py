@@ -20,26 +20,29 @@ from orbslam3_cpp_fork_tpu.runtime.tracker import Sensor
 def main():
     args = base_parser(__doc__).parse_args()
     setup_logging(args.log_level)
-    seq = euroc.load_sequence(args.dataset_root, args.sequence, args.timestamps)
-    assert seq.imu is not None, "sequence has no imu0/data.csv"
     slam = System(args.settings, Sensor.IMU_MONOCULAR, load_atlas=args.load_atlas)
-    wall = t_prev = None
-    n = len(seq.image_paths) if args.max_frames is None else args.max_frames
-    for i in range(n):
-        t = float(seq.timestamps[i])
-        img = euroc.load_gray(seq.image_paths[i])
-        rows = None
-        if t_prev is not None:
-            acc, gyro, _ = euroc.imu_between(seq.imu, t_prev, t)
-            sel = (seq.imu.timestamps > t_prev) & (seq.imu.timestamps <= t)
-            ts_sel = seq.imu.timestamps[sel]
-            rows = np.concatenate(
-                [ts_sel[:, None], acc, gyro], axis=1
-            ).astype(np.float32)
-        if args.realtime:
-            wall = pace(t_prev, t, wall)
-        slam.track_monocular(img, t, imu=rows)
-        t_prev = t
+    for si, seq_name in enumerate(args.sequence):
+        if si:
+            slam.change_dataset()
+        seq = euroc.load_sequence(args.dataset_root, seq_name, args.timestamps)
+        assert seq.imu is not None, "sequence has no imu0/data.csv"
+        wall = t_prev = None
+        n = len(seq.image_paths) if args.max_frames is None else args.max_frames
+        for i in range(n):
+            t = float(seq.timestamps[i])
+            img = euroc.load_gray(seq.image_paths[i])
+            rows = None
+            if t_prev is not None:
+                acc, gyro, _ = euroc.imu_between(seq.imu, t_prev, t)
+                sel = (seq.imu.timestamps > t_prev) & (seq.imu.timestamps <= t)
+                ts_sel = seq.imu.timestamps[sel]
+                rows = np.concatenate(
+                    [ts_sel[:, None], acc, gyro], axis=1
+                ).astype(np.float32)
+            if args.realtime:
+                wall = pace(t_prev, t, wall)
+            slam.track_monocular(img, t, imu=rows)
+            t_prev = t
     finish(slam, args)
 
 

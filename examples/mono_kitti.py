@@ -17,19 +17,22 @@ from orbslam3_cpp_fork_tpu.runtime.tracker import Sensor
 def main():
     args = base_parser(__doc__).parse_args()
     setup_logging(args.log_level)
-    seq = kitti.load_sequence(args.dataset_root, args.sequence, stereo=False)
     slam = System(args.settings, Sensor.MONOCULAR, load_atlas=args.load_atlas)
     if args.localization:
         slam.activate_localization_mode()
-    wall = t_prev = None
-    n = len(seq.image_paths) if args.max_frames is None else args.max_frames
-    for i in range(n):
-        t = float(seq.timestamps[i])
-        img = kitti.load_gray(seq.image_paths[i])
-        if args.realtime:
-            wall = pace(t_prev, t, wall)
-        slam.track_monocular(img, t)
-        t_prev = t
+    for si, seq_name in enumerate(args.sequence):
+        if si:
+            slam.change_dataset()
+        seq = kitti.load_sequence(args.dataset_root, seq_name, stereo=False)
+        wall = t_prev = None
+        n = len(seq.image_paths) if args.max_frames is None else args.max_frames
+        for i in range(n):
+            t = float(seq.timestamps[i])
+            img = kitti.load_gray(seq.image_paths[i])
+            if args.realtime:
+                wall = pace(t_prev, t, wall)
+            slam.track_monocular(img, t)
+            t_prev = t
     finish(slam, args)
 
 

@@ -17,20 +17,23 @@ from orbslam3_cpp_fork_tpu.runtime.tracker import Sensor
 def main():
     args = base_parser(__doc__).parse_args()
     setup_logging(args.log_level)
-    seq = tum.load_sequence(args.dataset_root, args.sequence)
     slam = System(args.settings, Sensor.RGBD, load_atlas=args.load_atlas)
     if args.localization:
         slam.activate_localization_mode()
-    wall = t_prev = None
-    n = len(seq.rgb_paths) if args.max_frames is None else args.max_frames
-    for i in range(n):
-        t = float(seq.timestamps[i])
-        img = tum.load_gray(seq.rgb_paths[i])
-        depth = tum.load_depth(seq.depth_paths[i])
-        if args.realtime:
-            wall = pace(t_prev, t, wall)
-        slam.track_rgbd(img, depth, t)
-        t_prev = t
+    for si, seq_name in enumerate(args.sequence):
+        if si:
+            slam.change_dataset()
+        seq = tum.load_sequence(args.dataset_root, seq_name)
+        wall = t_prev = None
+        n = len(seq.rgb_paths) if args.max_frames is None else args.max_frames
+        for i in range(n):
+            t = float(seq.timestamps[i])
+            img = tum.load_gray(seq.rgb_paths[i])
+            depth = tum.load_depth(seq.depth_paths[i])
+            if args.realtime:
+                wall = pace(t_prev, t, wall)
+            slam.track_rgbd(img, depth, t)
+            t_prev = t
     finish(slam, args)
 
 

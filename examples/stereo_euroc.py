@@ -19,22 +19,25 @@ from orbslam3_cpp_fork_tpu.runtime.tracker import Sensor
 def main():
     args = base_parser(__doc__).parse_args()
     setup_logging(args.log_level)
-    seq = euroc.load_sequence(
-        args.dataset_root, args.sequence, args.timestamps, stereo=True
-    )
     slam = System(args.settings, Sensor.STEREO, load_atlas=args.load_atlas)
     if args.localization:
         slam.activate_localization_mode()
-    wall = t_prev = None
-    n = len(seq.image_paths) if args.max_frames is None else args.max_frames
-    for i in range(n):
-        t = float(seq.timestamps[i])
-        left = euroc.load_gray(seq.image_paths[i])
-        right = euroc.load_gray(seq.image_paths_right[i])
-        if args.realtime:
-            wall = pace(t_prev, t, wall)
-        slam.track_stereo(left, right, t)
-        t_prev = t
+    for si, seq_name in enumerate(args.sequence):
+        if si:
+            slam.change_dataset()
+        seq = euroc.load_sequence(
+            args.dataset_root, seq_name, args.timestamps, stereo=True
+        )
+        wall = t_prev = None
+        n = len(seq.image_paths) if args.max_frames is None else args.max_frames
+        for i in range(n):
+            t = float(seq.timestamps[i])
+            left = euroc.load_gray(seq.image_paths[i])
+            right = euroc.load_gray(seq.image_paths_right[i])
+            if args.realtime:
+                wall = pace(t_prev, t, wall)
+            slam.track_stereo(left, right, t)
+            t_prev = t
     finish(slam, args)
 
 

@@ -17,22 +17,25 @@ from orbslam3_cpp_fork_tpu.runtime.tracker import Sensor
 def main():
     args = base_parser(__doc__).parse_args()
     setup_logging(args.log_level)
-    seq = kitti.load_sequence(args.dataset_root, args.sequence, stereo=True)
     slam = System(args.settings, Sensor.STEREO, load_atlas=args.load_atlas)
     if args.localization:
         slam.activate_localization_mode()
-    wall = t_prev = None
-    n = len(seq.image_paths) if args.max_frames is None else args.max_frames
-    for i in range(n):
-        t = float(seq.timestamps[i])
-        left = kitti.load_gray(seq.image_paths[i])
-        right = kitti.load_gray(seq.image_paths_right[i])
-        if args.realtime:
-            wall = pace(t_prev, t, wall)
-        slam.track_stereo(left, right, t)
-        t_prev = t
-    # KITTI evaluation wants the 12-float matrix format too.
-    slam.save_trajectory_kitti(args.traj.rsplit(".", 1)[0] + "_kitti.txt")
+    for si, seq_name in enumerate(args.sequence):
+        if si:
+            slam.change_dataset()
+        seq = kitti.load_sequence(args.dataset_root, seq_name, stereo=True)
+        wall = t_prev = None
+        n = len(seq.image_paths) if args.max_frames is None else args.max_frames
+        for i in range(n):
+            t = float(seq.timestamps[i])
+            left = kitti.load_gray(seq.image_paths[i])
+            right = kitti.load_gray(seq.image_paths_right[i])
+            if args.realtime:
+                wall = pace(t_prev, t, wall)
+            slam.track_stereo(left, right, t)
+            t_prev = t
+        # KITTI evaluation wants the 12-float matrix format too.
+        slam.save_trajectory_kitti(args.traj.rsplit(".", 1)[0] + "_kitti.txt")
     finish(slam, args)
 
 

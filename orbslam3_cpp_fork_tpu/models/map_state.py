@@ -109,6 +109,21 @@ class MapState:
 
         self._next_kf_slot = 0
         self._next_lm_slot = 0
+        # Native (C++) covisibility/spanning-tree core (native/mapgraph.cpp):
+        # mirrors the observation graph incrementally through the mediated
+        # mutators below; code that writes `obs` directly (landmark fusion,
+        # map merge) must call `mark_obs_dirty()` and the mirror is rebuilt
+        # lazily on the next query. Falls back to dense numpy if no
+        # toolchain.
+        self._native = None
+        self._native_dirty = False
+        try:
+            from .. import native as native_mod
+
+            if native_mod.load() is not None:
+                self._native = native_mod.MapGraph(K, L)
+        except Exception:
+            self._native = None
         # IMU calibration (ops.imu.ImuCalib) attached by the tracker for
         # re-integration; None for visual-only maps.
         self._imu_calib = None
@@ -172,6 +187,10 @@ class MapState:
         self.obs[k, :] = False
         self.obs[k, seen] = True
         self.lm_obs_count[seen] += 1
+        if self._native is not None and not self._native_dirty:
+            self._native.add_keyframe(int(k))
+            if len(seen):
+                self._native.add_observations(int(k), seen)
         return k
 
     def remove_keyframe(self, k: int):
@@ -206,6 +225,8 @@ class MapState:
         self.kf_feat_valid[k] = False
         self.kf_lm_idx[k] = -1
         self.obs[k, :] = False
+        if self._native is not None and not self._native_dirty:
+            self._native.remove_keyframe(int(k))
 
     # ------------------------------------------------------------------
     # Inertial state
@@ -359,6 +380,9 @@ class MapState:
             self.kf_lm_idx[k][mask] = -1
         self.obs[:, ids] = False
         self.lm_obs_count[ids] = 0
+        if self._native is not None and not self._native_dirty:
+            for lm in ids:
+                self._native.remove_landmark(int(lm))
 
     def add_observation(self, k: int, feat_idx: np.ndarray, lm_ids: np.ndarray):
         """Bind features of KF k to landmarks (MapPoint::AddObservation +
@@ -372,14 +396,41 @@ class MapState:
         newly = ~self.obs[k, lm_ids]
         self.obs[k, lm_ids] = True
         self.lm_obs_count[lm_ids[newly]] += 1
+        if self._native is not None and not self._native_dirty:
+            self._native.add_observations(int(k), lm_ids)
 
     # ------------------------------------------------------------------
     # Queries
     # ------------------------------------------------------------------
 
+    def mark_obs_dirty(self):
+        """Call after writing `obs` directly (landmark fusion, map merge,
+        checkpoint restore): the native graph mirror rebuilds lazily."""
+        if self._native is not None:
+            self._native_dirty = True
+
+    def _native_sync(self):
+        if self._native is None or not self._native_dirty:
+            return
+        from .. import native as native_mod
+
+        self._native = native_mod.MapGraph(self.cfg.max_keyframes, self.cfg.max_landmarks)
+        for k in np.nonzero(self.kf_valid)[0]:
+            self._native.add_keyframe(int(k))
+            lms = np.nonzero(self.obs[k])[0]
+            if len(lms):
+                self._native.add_observations(int(k), lms)
+        self._native_dirty = False
+
     def covisibility_weights(self, k: int) -> np.ndarray:
         """(K,) number of landmarks shared with keyframe k
-        (KeyFrame::UpdateConnections weight computation)."""
+        (KeyFrame::UpdateConnections weight computation). Served by the
+        native incremental graph when built; dense matmul fallback."""
+        if self._native is not None:
+            self._native_sync()
+            w = self._native.covis_row(int(k))
+            w[~self.kf_valid] = 0
+            return w
         w = self.obs.astype(np.int32) @ self.obs[k].astype(np.int32)
         w[k] = 0
         w[~self.kf_valid] = 0

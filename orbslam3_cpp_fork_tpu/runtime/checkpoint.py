@@ -90,6 +90,7 @@ def load_atlas(path: str, imu_calib=None) -> tuple[Atlas, dict]:
                     f" vs {cur.shape}/{cur.dtype}"
                 )
             setattr(m, k, arr.copy())
+        m.mark_obs_dirty()  # restored obs bypassed the native graph mirror
         atlas.maps.append(m)
     atlas.active_idx = header["active_idx"]
     atlas._next_map_id = header["next_map_id"]

@@ -461,6 +461,7 @@ class LoopCloser:
         m.obs[:, old] = False
         m.lm_valid[old] = False
         m.lm_obs_count[old] = 0
+        m.mark_obs_dirty()  # direct obs writes above bypass the native mirror
         m.lm_found[new] += m.lm_found[old]
         m.lm_visible[new] += m.lm_visible[old]
 

@@ -223,6 +223,11 @@ class System:
     def get_tracking_state(self) -> TrackState:
         return self.tracker.state
 
+    def change_dataset(self):
+        """System::ChangeDataset (src/System.cc:1412): call between
+        sequences of a multi-sequence run."""
+        self.tracker.new_dataset()
+
     def reset(self):
         """System::Reset: drop everything and start over."""
         cfg = self.tracker.cfg

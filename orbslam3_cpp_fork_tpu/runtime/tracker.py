@@ -611,6 +611,7 @@ class Tracker:
         return self._process(frame)
 
     def _process(self, frame: FrameData) -> np.ndarray | None:
+        self._timestamp_guards(frame.timestamp)
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             if self.cfg.sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR):
                 self._initialize(frame)
@@ -703,6 +704,35 @@ class Tracker:
             "map merge complete: now tracking in map %d (%d KFs, %d lms)",
             dst.map_id, dst.n_keyframes(), dst.n_landmarks(),
         )
+
+    def _timestamp_guards(self, ts: float):
+        """Tracking::Track timestamp sanity guards (src/Tracking.cc:
+        1794-1827): a frame older than its predecessor or a >1 s gap on
+        an inertial run invalidates the IMU integration — spawn a fresh
+        Atlas map (established map kept) or reset a small one."""
+        if self.state is TrackState.NO_IMAGES_YET or self.last is None:
+            return
+        prev = self.last.timestamp
+        if ts < prev:
+            log.warning(
+                "frame timestamp %.6f older than previous %.6f; new map",
+                ts, prev,
+            )
+            self._last_imu_t = None
+            self._spawn_or_reset_map()
+        elif self.inertial and ts > prev + 1.0:
+            log.warning("timestamp jump %.2f s on inertial run", ts - prev)
+            self._last_imu_t = None
+            self._spawn_or_reset_map()
+
+    def new_dataset(self):
+        """System::ChangeDataset (src/System.cc:1412-1420): close out the
+        current sequence — small maps are rebuilt, established ones kept
+        and a fresh map started — and forget timing state so the next
+        sequence's first frame doesn't trip the timestamp guards."""
+        self._spawn_or_reset_map()
+        self._last_imu_t = None
+        self.last = None
 
     def _spawn_or_reset_map(self):
         """Unrecoverable loss: small maps are discarded and rebuilt
