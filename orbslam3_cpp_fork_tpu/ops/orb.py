@@ -165,7 +165,20 @@ def select_keypoints(
     # (ncells, cell*cell)
     cells = s.reshape(ch, cell, cw, cell).transpose(0, 2, 1, 3).reshape(ch * cw, cell * cell)
     k = min(k_per_cell, cell * cell)
-    top_s, top_i = jax.lax.top_k(cells, k)  # per-cell descending
+    # Per-cell top-k by iterative max+mask: k passes of a row max beat
+    # lax.top_k's full per-row sort for small k (k=8 over 1024-wide
+    # rows), and scores are distinct enough that ties are immaterial.
+    cols = jnp.arange(cells.shape[1], dtype=jnp.int32)[None, :]
+    cur = cells
+    tops_s, tops_i = [], []
+    for _ in range(k):
+        a = jnp.argmax(cur, axis=1)
+        m = jnp.take_along_axis(cur, a[:, None], axis=1)[:, 0]
+        tops_s.append(m)
+        tops_i.append(a.astype(jnp.int32))
+        cur = jnp.where(cols == a[:, None], -jnp.inf, cur)
+    top_s = jnp.stack(tops_s, axis=1)  # per-cell descending
+    top_i = jnp.stack(tops_i, axis=1)
     # Flat image coordinates of the per-cell winners.
     cy = jnp.arange(ch * cw) // cw
     cx = jnp.arange(ch * cw) % cw
@@ -335,9 +348,22 @@ def extract_orb(img: jax.Array, p: OrbParams = OrbParams()) -> Features:
         )
         s = jnp.where(inb, s, 0.0)
         xy, score, valid = select_keypoints(s, caps[l], p.cell, p.k_per_cell)
-        angle = compute_angles(lvl, xy)
+        # Raw patches (orientation) + blurred patches (BRIEF) in one
+        # Pallas gather; IC_Angle and the steered-BRIEF compares are
+        # then two matmuls (ops/patches.py) — no dense moment maps, no
+        # per-keypoint pixel gathers.
+        from . import patches as patches_mod
+
         blurred = gaussian_blur7(lvl)
-        desc, bits = compute_descriptors(blurred, xy, angle)
+        praw, pblur = patches_mod.extract_patches_dual(lvl, blurred, xy)
+        angle = patches_mod.ic_angle_from_patches(praw)
+        bits8 = patches_mod.brief_from_patches(pblur, angle)
+        shifts32 = jnp.arange(32, dtype=jnp.uint32)
+        desc = jnp.sum(
+            bits8.astype(jnp.uint32).reshape(-1, 8, 32) << shifts32[None, None, :],
+            axis=-1,
+        ).astype(jnp.uint32)
+        bits = bits8
         scale_l = p.scale_factor**l
         per_level.append(
             dict(

@@ -166,3 +166,53 @@ def brief_from_patches(patches: jax.Array, angle: jax.Array) -> jax.Array:
     ).astype(diff.dtype)
     sel = jnp.einsum("nbk,nb->nk", diff, onehot)
     return (sel > 0).astype(jnp.int8)
+
+
+@functools.lru_cache(maxsize=None)
+def _moment_weights() -> np.ndarray:
+    """(P, 2) x/y moment weights of the radius-15 circular IC_Angle patch
+    (reference IC_Angle, src/ORBextractor.cc:66-93; circle extents match
+    the umax table) laid out in flattened 40x40 patch coordinates."""
+    from .orb import HALF_PATCH
+
+    r = HALF_PATCH
+    wts = np.zeros((PATCH_ROWS * PATCH_COLS, 2), np.float32)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dx * dx + dy * dy <= r * r + r:
+                idx = (dy + RAD) * PATCH_COLS + (dx + RAD)
+                wts[idx, 0] = dx  # m10
+                wts[idx, 1] = dy  # m01
+    return wts
+
+
+def ic_angle_from_patches(patches: jax.Array) -> jax.Array:
+    """(N,40,40) raw-image patches -> (N,) IC_Angle orientations.
+
+    One (N,P)x(P,2) matvec replaces the dense per-level moment maps +
+    per-keypoint gathers (f32 exact: weights are small integers)."""
+    n = patches.shape[0]
+    w = jnp.asarray(_moment_weights())
+    m = patches.reshape(n, -1) @ w  # (N,2) = (m10, m01)
+    return jnp.arctan2(m[:, 1], m[:, 0])
+
+
+def extract_patches_dual(
+    img_a: jax.Array, img_b: jax.Array, xy: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Patches of the same keypoints from two same-shape images (raw for
+    orientation, blurred for BRIEF) in ONE kernel call: the images are
+    stacked vertically with a 40-row split replicated gap (top half
+    replicates img_a's last row, bottom half img_b's first row) so every
+    window read stays within its own image's edge-clamp semantics."""
+    h, w = img_a.shape
+    n = xy.shape[0]
+    gap_a = jnp.broadcast_to(img_a[-1:], (RAD + 1, w))
+    gap_b = jnp.broadcast_to(img_b[:1], (RAD + 1, w))
+    stacked = jnp.concatenate([img_a, gap_a, gap_b, img_b], axis=0)
+    off = h + 2 * (RAD + 1)
+    xy2 = jnp.concatenate(
+        [xy, xy + jnp.array([0, off], xy.dtype)], axis=0
+    )
+    both = extract_patches(stacked, xy2)
+    return both[:n], both[n:]
