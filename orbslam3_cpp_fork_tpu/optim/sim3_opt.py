@@ -78,10 +78,25 @@ def optimize_sim3(
         w2 = w * (z2 > 0)
         return e1, e2, chi1, chi2, w1 * inv_s1, w2 * inv_s2
 
-    def gn_step(carry, _):
-        params, inlier = carry
-        # Huber weights at the current estimate (delta^2 = 10, the
-        # reference's sqrt(10) kernel), frozen for the linearization.
+    def robust_cost(params, inlier):
+        # Huber rho (delta^2 = 10): chi below the knee, 2*sqrt(chi*d2)-d2
+        # above — the objective g2o's LM accept/reject compares.
+        _, _, chi1, chi2, _, _ = residuals(params, inlier)
+        d2 = CHI2_SIM3
+
+        def rho(chi):
+            return jnp.where(chi <= d2, chi, 2.0 * jnp.sqrt(chi * d2) - d2)
+
+        w = (inlier & valid).astype(jnp.float32)
+        return jnp.sum(w * (rho(chi1) + rho(chi2)))
+
+    def lm_step(carry, _):
+        # Levenberg-Marquardt with accept/reject. A merge/loop Sim3 can
+        # have near-coincident cameras, making scale unobservable from
+        # reprojection (uv = f*x/z is s-invariant at t~0); plain GN with
+        # fixed tiny damping then steps arbitrarily far along that null
+        # direction. LM keeps dx ~ g/lambda ~ 0 there, as g2o does.
+        params, inlier, lam, cost = carry
         _, _, chi1, chi2, _, _ = residuals(params, inlier)
         h1 = jnp.minimum(1.0, jnp.sqrt(CHI2_SIM3 / jnp.maximum(chi1, 1e-12)))
         h2 = jnp.minimum(1.0, jnp.sqrt(CHI2_SIM3 / jnp.maximum(chi2, 1e-12)))
@@ -96,25 +111,37 @@ def optimize_sim3(
         J = jax.jacfwd(flat_res)(params)  # (2N*2, 7)
         if fix_scale:
             J = J.at[:, 6].set(0.0)
-        H = J.T @ J + 1e-6 * jnp.eye(7)
+        H = J.T @ J
         g = -J.T @ r
         if fix_scale:
             H = H.at[6, 6].set(1.0)
             g = g.at[6].set(0.0)
-        dx = jnp.linalg.solve(H, g)
-        ok = jnp.all(jnp.isfinite(dx))
-        params = jnp.where(ok, params + dx, params)
-        return (params, inlier), None
+        dx = jnp.linalg.solve(H + lam * jnp.eye(7), g)
+        cand = params + dx
+        new_cost = robust_cost(cand, inlier)
+        ok = jnp.all(jnp.isfinite(dx)) & (new_cost < cost)
+        params = jnp.where(ok, cand, params)
+        cost = jnp.where(ok, new_cost, cost)
+        lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-5), jnp.minimum(lam * 4.0, 1e6))
+        return (params, inlier, lam, cost), None
+
+    def run_pass(params, inlier, length):
+        lam0 = jnp.float32(1e-3)
+        cost0 = robust_cost(params, inlier)
+        (params, _, _, _), _ = jax.lax.scan(
+            lm_step, (params, inlier, lam0, cost0), None, length=length
+        )
+        return params
 
     params0 = jnp.zeros(7, jnp.float32)
     inlier0 = valid
     # Pass 1.
-    (params, _), _ = jax.lax.scan(gn_step, (params0, inlier0), None, length=iters // 2)
+    params = run_pass(params0, inlier0, iters // 2)
     # Inlier pruning at chi2 10 in both images (src/Optimizer.cc:2266).
     _, _, chi1, chi2, _, _ = residuals(params, inlier0)
     inlier = valid & (chi1 < CHI2_SIM3) & (chi2 < CHI2_SIM3)
     # Pass 2.
-    (params, _), _ = jax.lax.scan(gn_step, (params, inlier), None, length=iters - iters // 2)
+    params = run_pass(params, inlier, iters - iters // 2)
     _, _, chi1, chi2, _, _ = residuals(params, inlier)
     inlier = valid & (chi1 < CHI2_SIM3) & (chi2 < CHI2_SIM3)
 
