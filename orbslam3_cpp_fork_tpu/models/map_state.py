@@ -338,6 +338,11 @@ class MapState:
             (s if scale_vel else 1.0) * self.kf_vel[valid_k] @ Ryw.T
         )
         self.lm_pos[self.lm_valid] = s * self.lm_pos[self.lm_valid] @ Ryw.T
+        # Viewing normals rotate with the world (the reference re-derives
+        # them via UpdateNormalAndDepth after ApplyScaledRotation; without
+        # this the view-angle gate rejects nearly every projection match
+        # after the gravity alignment).
+        self.lm_normal[self.lm_valid] = self.lm_normal[self.lm_valid] @ Ryw.T
         self.lm_min_dist[self.lm_valid] *= s
         self.lm_max_dist[self.lm_valid] *= s
 

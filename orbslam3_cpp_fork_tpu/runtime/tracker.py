@@ -122,6 +122,9 @@ class TrackerConfig:
     min_track_inliers: int = 10
     min_localmap_inliers: int = 30
     kf_max_interval: int = 30  # frames (reference mMaxFrames = fps)
+    # Seconds of RECENTLY_LOST grace (IMU dead-reckoning / reloc window)
+    # before declaring LOST (reference time_recently_lost, Tracking.cc:71).
+    time_recently_lost: float = 5.0
     kf_ref_ratio: float = 0.9  # NeedNewKeyFrame thRefRatio mono (:3040)
     local_window_kfs: int = 10
     # Static capacities for jitted programs.
@@ -228,41 +231,91 @@ def match_triangulation(
 
 
 @jax.jit
-def triangulate_and_check(R1, t1, R2, t2, K, uv1, uv2, sigma2_1, sigma2_2, valid):
-    """Batched two-view triangulation with the reference's acceptance
-    gates (LocalMapping::CreateNewMapPoints src/LocalMapping.cc:417-742):
-    positive depth in both views, reprojection chi2 < 5.991 sigma2,
-    parallax > ~1 degree."""
+def triangulate_and_check(
+    R1, t1, R2, t2, K, uv1, uv2, sigma2_1, sigma2_2,
+    z_st1, z_st2, ur1, ur2, bf, oct_ratio, valid,
+):
+    """Batched new-landmark geometry with the reference's full policy
+    (LocalMapping::CreateNewMapPoints src/LocalMapping.cc:417-742):
+
+    - Parallax arbitration: DLT-triangulate only when the two-view ray
+      parallax beats the stereo rig's own parallax
+      cos(2*atan2(b/2, z)); otherwise unproject from the stereo depth
+      of whichever keyframe has the stronger rig parallax. Low-parallax
+      two-view points from a stereo rig are noise-amplified (inverse
+      parallax is convex) — the rig depth is the better estimate.
+    - Acceptance: positive depth both views; reprojection chi2 < 5.991
+      (mono) / 7.815 with the ur residual (stereo features); octave
+      scale-consistency ratio within 1.5x scale factor.
+
+    z_st*/ur*: per-feature stereo depth / right-u (<0 = mono feature).
+    oct_ratio: scale1/scale2 = 1.2^(lvl1-lvl2) per candidate pair.
+    """
+    st1 = z_st1 > 0
+    st2 = z_st2 > 0
+    b = bf / K[0, 0]
+    cs1 = jnp.where(st1, jnp.cos(2.0 * jnp.arctan2(b / 2.0, z_st1)), 2.0)
+    cs2 = jnp.where(st2, jnp.cos(2.0 * jnp.arctan2(b / 2.0, z_st2)), 2.0)
+    cs = jnp.minimum(cs1, cs2)
+
+    # Ray parallax from the keypoint bearings (not the DLT point).
+    Kinv = jnp.linalg.inv(K)
+    ones = jnp.ones((uv1.shape[0], 1), uv1.dtype)
+    xn1 = jnp.concatenate([uv1, ones], -1) @ Kinv.T
+    xn2 = jnp.concatenate([uv2, ones], -1) @ Kinv.T
+    ray1 = xn1 @ R1  # = R1^T xn rowwise (world direction)
+    ray2 = xn2 @ R2
+    cosp = jnp.sum(ray1 * ray2, -1) / jnp.maximum(
+        jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1), 1e-12
+    )
+
     P1 = geometry.projection_matrix(K, R1, t1)
     P2 = geometry.projection_matrix(K, R2, t2)
     n = uv1.shape[0]
-    X = geometry.triangulate_dlt(
+    X_dlt = geometry.triangulate_dlt(
         jnp.broadcast_to(P1, (n, 3, 4)), jnp.broadcast_to(P2, (n, 3, 4)), uv1, uv2
     )
+    # Rig unprojections: X = R^T (z * K^-1 [u,v,1] - t).
+    X_s1 = (xn1 * z_st1[:, None] - t1) @ R1
+    X_s2 = (xn2 * z_st2[:, None] - t2) @ R2
+
+    use_dlt = (cosp > 0) & (cosp < cs) & (st1 | st2 | (cosp < 0.9998))
+    use_s1 = ~use_dlt & st1 & (cs1 < cs2)
+    use_s2 = ~use_dlt & ~use_s1 & st2
+    X = jnp.where(
+        use_dlt[:, None], X_dlt, jnp.where(use_s1[:, None], X_s1, X_s2)
+    )
+    accepted = use_dlt | use_s1 | use_s2
+
     pc1 = lie.se3_apply(R1, t1, X)
     pc2 = lie.se3_apply(R2, t2, X)
     z1, z2 = pc1[:, 2], pc2[:, 2]
 
-    def reproj_err(pc, uv):
+    def reproj_chi2(pc, uv, ur, st, sigma2):
         zs = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
         p = (K @ (pc / zs[:, None]).T).T
-        return jnp.sum((p[:, :2] - uv) ** 2, axis=-1)
+        e = jnp.sum((p[:, :2] - uv) ** 2, axis=-1)
+        e_r = (p[:, 0] - bf / zs - ur) ** 2
+        chi = (e + jnp.where(st, e_r, 0.0)) / sigma2
+        return chi < jnp.where(st, 7.815, 5.991)
 
-    e1 = reproj_err(pc1, uv1)
-    e2 = reproj_err(pc2, uv2)
+    ok1 = reproj_chi2(pc1, uv1, ur1, st1, sigma2_1)
+    ok2 = reproj_chi2(pc2, uv2, ur2, st2, sigma2_2)
     c1 = -jnp.einsum("ji,j->i", R1, t1)
     c2 = -jnp.einsum("ji,j->i", R2, t2)
-    r1 = X - c1
-    r2 = X - c2
-    cosp = jnp.sum(r1 * r2, -1) / jnp.maximum(
-        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-12
+    dist1 = jnp.linalg.norm(X - c1, axis=-1)
+    dist2 = jnp.linalg.norm(X - c2, axis=-1)
+    ratio_dist = dist2 / jnp.maximum(dist1, 1e-12)
+    ratio_factor = 1.5 * SCALE_FACTOR
+    scale_ok = (ratio_dist * ratio_factor >= oct_ratio) & (
+        ratio_dist <= oct_ratio * ratio_factor
     )
     good = (
         valid
+        & accepted
         & jnp.all(jnp.isfinite(X), axis=-1)
         & (z1 > 0.01) & (z2 > 0.01)
-        & (e1 < 5.991 * sigma2_1) & (e2 < 5.991 * sigma2_2)
-        & (cosp < 0.9998)
+        & ok1 & ok2 & scale_ok
     )
     return X, good
 
@@ -363,6 +416,7 @@ class Tracker:
         # (Tracking::CreateMapInAtlas on unrecoverable loss).
         self.lost_frames = 0
         self.reloc_patience = 12
+        self.lost_t = 0.0  # timestamp at which RECENTLY_LOST began
         # kf alias across map merges: (map_id, kf) -> (map_id', kf').
         self._kf_alias: dict[tuple[int, int], tuple[int, int]] = {}
         # Place recognition: one GLOBAL keyframe database spanning all
@@ -617,7 +671,9 @@ class Tracker:
                 self._initialize(frame)
             else:
                 self._initialize_from_depth(frame)
-        elif self.state in (TrackState.LOST, TrackState.RECENTLY_LOST):
+        elif self.state == TrackState.RECENTLY_LOST:
+            self._recently_lost_step(frame)
+        elif self.state == TrackState.LOST:
             if not self._relocalize(frame):
                 self.lost_frames += 1
                 if self.lost_frames > self.reloc_patience:
@@ -745,9 +801,9 @@ class Tracker:
             log.warning("resetting active map (%d KFs)", m.n_keyframes())
             for k in np.nonzero(m.kf_valid)[0]:
                 self.kfdb.erase(self._gid(int(k)))
-            self.atlas.maps[self.atlas.active_idx] = MapState(
-                self.cfg.map_cfg, map_id=m.map_id
-            )
+            fresh = MapState(self.cfg.map_cfg, map_id=m.map_id)
+            fresh._imu_calib = self.atlas.imu_calib
+            self.atlas.maps[self.atlas.active_idx] = fresh
         else:
             log.warning(
                 "spawning new Atlas map (keeping map %d: %d KFs)",
@@ -1335,14 +1391,86 @@ class Tracker:
         return False
 
     def _set_lost(self, frame: FrameData):
+        """Track failure from OK: enter the reference's resilience ladder
+        OK -> RECENTLY_LOST -> LOST (src/Tracking.cc:2060-2075). With an
+        initialized IMU (or an established map) we dead-reckon /
+        relocalize for time_recently_lost seconds before declaring LOST."""
         n_kf = self.map.n_keyframes()
-        log.warning("tracking lost at frame %d (%d KFs)", frame.frame_id, n_kf)
-        self.state = TrackState.LOST
-        frame.R = None
-        frame.t = None
+        imu_ready = self.inertial and self.map.imu_stage >= 1
         frame.lm_idx[:] = -1
         self.velocity = None
+        if n_kf > 10 or imu_ready:
+            log.warning(
+                "tracking RECENTLY_LOST at frame %d (%d KFs)",
+                frame.frame_id, n_kf,
+            )
+            self.state = TrackState.RECENTLY_LOST
+            self.lost_t = frame.timestamp
+            if not imu_ready:
+                frame.R = None
+                frame.t = None
+            # Inertial: keep the pose — the IMU keeps predicting from it
+            # (the reference keeps publishing IMU-predicted poses while
+            # RECENTLY_LOST, src/Tracking.cc:1924-1949).
+        else:
+            log.warning("tracking LOST at frame %d (%d KFs)", frame.frame_id, n_kf)
+            self.state = TrackState.LOST
+            frame.R = None
+            frame.t = None
         self.last = frame
+
+    def _recently_lost_step(self, frame: FrameData):
+        """One frame while RECENTLY_LOST: inertial -> IMU dead-reckoning +
+        local-map re-acquisition; visual -> relocalization. Falls to LOST
+        after time_recently_lost seconds (src/Tracking.cc:1924-1949)."""
+        m = self.map
+        imu_ready = self.inertial and m.imu_stage >= 1
+        recovered = False
+        if imu_ready and self.last_body is not None and self.last.R is not None:
+            self._predict_pose(frame)
+            Rwb, p = self._body_from_cam_np(frame.R, frame.t)
+            self.last_body = (Rwb, p, self.cur_v.copy())
+            # Re-acquisition: project the reference-KF neighborhood's
+            # landmarks into the predicted pose with a wide window.
+            if self.ref_kf >= 0 and m.kf_valid[self.ref_kf]:
+                neigh, _ = m.covisible_keyframes(self.ref_kf, min_weight=15)
+                kfs = np.asarray([self.ref_kf, *neigh[:10]], np.int64)
+                local_lms = m.local_map_landmarks(kfs)
+                lm_hit, feat_hit = self._match_landmarks_into_frame(
+                    frame, local_lms, 15.0
+                )
+                frame.lm_idx[feat_hit] = lm_hit
+                log.debug(
+                    "recently-lost frame %d: %d local lms, %d hits",
+                    frame.frame_id, len(local_lms), len(lm_hit),
+                )
+                if len(lm_hit) >= 20:
+                    n_in = self._pose_optimize(frame)
+                    if n_in >= 30:
+                        log.info(
+                            "re-acquired tracking at frame %d (%d inliers)",
+                            frame.frame_id, n_in,
+                        )
+                        recovered = True
+                        self.prior_H = None
+            self.last = frame
+        else:
+            recovered = self._relocalize(frame)
+        if recovered:
+            self.state = TrackState.OK
+            self.velocity = None
+            self.lost_frames = 0
+            if self.inertial and frame.R is not None:
+                Rwb, p = self._body_from_cam_np(frame.R, frame.t)
+                self.last_body = (Rwb, p, self.cur_v.copy())
+            self.last = frame
+        elif frame.timestamp - self.lost_t > self.cfg.time_recently_lost:
+            log.warning(
+                "tracking LOST at frame %d (RECENTLY_LOST for %.1f s)",
+                frame.frame_id, frame.timestamp - self.lost_t,
+            )
+            self.state = TrackState.LOST
+            self.lost_frames = 0
 
     def _local_keyframes(self, frame: FrameData) -> np.ndarray:
         """K1 = KFs sharing landmarks with the frame, ranked by overlap;
@@ -1864,6 +1992,10 @@ class Tracker:
         idx_np = np.asarray(idx)
         if ok_np.sum() == 0:
             return []
+        oct_ratio = SCALE_FACTOR ** (
+            m.kf_level[k1].astype(np.float32)
+            - m.kf_level[k2][idx_np].astype(np.float32)
+        )
         X, good = triangulate_and_check(
             jnp.asarray(m.kf_R[k1]), jnp.asarray(m.kf_t[k1]),
             jnp.asarray(m.kf_R[k2]), jnp.asarray(m.kf_t[k2]),
@@ -1871,6 +2003,10 @@ class Tracker:
             jnp.asarray(m.kf_xy[k1]), jnp.asarray(m.kf_xy[k2][idx_np]),
             jnp.asarray(self._feat_sigma2(m.kf_level[k1])),
             jnp.asarray(self._feat_sigma2(m.kf_level[k2][idx_np])),
+            jnp.asarray(m.kf_depth[k1]), jnp.asarray(m.kf_depth[k2][idx_np]),
+            jnp.asarray(m.kf_ur[k1]), jnp.asarray(m.kf_ur[k2][idx_np]),
+            jnp.float32(self.cfg.bf),
+            jnp.asarray(oct_ratio.astype(np.float32)),
             jnp.asarray(ok_np),
         )
         good = np.asarray(good)
@@ -2006,8 +2142,18 @@ class Tracker:
             for f in fix:
                 w = np.nonzero(kfs == f)[0]
                 kf_fixed[w] = True
+        # Gauge anchor: the map-origin KF is always held fixed when it
+        # participates (reference LocalBundleAdjustment fixes
+        # pMap->GetInitKFid(), src/Optimizer.cc:1110-1112). Without this,
+        # a young map (all KFs covisible, no boundary KFs) re-anchors on
+        # whatever KF the fallback picked and the whole map drifts.
+        valid_ids = np.nonzero(m.kf_valid)[0]
+        origin = int(valid_ids[np.argmin(m.kf_frame_id[valid_ids])])
+        kf_fixed[kfs == origin] = True
         if not kf_fixed.any():
-            kf_fixed[0] = True
+            # No fixed camera at all: abort like the reference
+            # (src/Optimizer.cc:1152-1155).
+            return
 
         lm_lookup = np.full(m.cfg.max_landmarks, -1, np.int64)
         lm_lookup[lms] = np.arange(len(lms))

@@ -30,9 +30,13 @@ def merged_run():
         height=scene.height,
         orb=OrbParams(n_features=1000),
         enable_loop_closing=True,
+        # Collapse the RECENTLY_LOST grace window (reference default 5 s,
+        # Tracking.cc:71) so the 8-frame blind stretch falls through to
+        # LOST and spawns the second Atlas map within this short run.
+        time_recently_lost=0.15,
     )
     tracker = Tracker(cfg)
-    tracker.reloc_patience = 6
+    tracker.reloc_patience = 3
     stamps = np.arange(n_frames) * 0.05
     blank = np.full((scene.height, scene.width), 35.0, np.float32)
     max_maps_seen = 1
