@@ -58,6 +58,87 @@ class System:
         cam = s.camera
         if self._resize:
             cam = cam.scaled(self._scale_x, self._scale_y)
+        # Unrectified pinhole stereo rig (raw EuRoC stereo): precompute
+        # rectification maps and switch to the rectified linear
+        # intrinsics, like Settings::precomputeRectificationMaps
+        # (src/Settings.cc:458-530). Images are remapped per frame in
+        # track_stereo (System::TrackStereo, src/System.cc:282-301).
+        self._rect = None
+        imu_Tbc = s.imu.Tbc if s.imu is not None else None
+        if (
+            s.left_rect is not None
+            and s.right_rect is not None
+            and sensor in (Sensor.STEREO, Sensor.IMU_STEREO)
+        ):
+            # Legacy explicit rectification: LEFT./RIGHT. K,D,R,P blocks
+            # (Examples_old stereo configs; the old examples called
+            # cv::initUndistortRectifyMap themselves). Camera.* already
+            # holds the rectified intrinsics; Tbc is already expressed in
+            # the rectified left camera.
+            from ..utils.rectify import (
+                StereoRectification, init_undistort_rectify_map,
+            )
+
+            S = np.diag([self._scale_x, self._scale_y, 1.0])
+            lr, rr = s.left_rect, s.right_rect
+            P1 = S @ np.asarray(lr["P"], np.float64)
+            P2 = S @ np.asarray(rr["P"], np.float64)
+            m1 = init_undistort_rectify_map(
+                S @ np.asarray(lr["K"], np.float64), lr["D"],
+                np.asarray(lr["R"], np.float64), P1[:3, :3], (height, width),
+            )
+            m2 = init_undistort_rectify_map(
+                S @ np.asarray(rr["K"], np.float64), rr["D"],
+                np.asarray(rr["R"], np.float64), P2[:3, :3], (height, width),
+            )
+            f_new = float(P1[0, 0])
+            bf_legacy = (
+                (s.bf or 0.0) * self._scale_x or -float(P2[0, 3])
+            )
+            self._rect = StereoRectification(
+                R1=np.asarray(lr["R"], np.float64),
+                R2=np.asarray(rr["R"], np.float64),
+                K_new=P1[:3, :3], baseline=bf_legacy / f_new, bf=bf_legacy,
+                map1_x=m1[0], map1_y=m1[1], map2_x=m2[0], map2_y=m2[1],
+            )
+        elif (
+            s.camera2 is not None
+            and s.camera_type == "PinHole"
+            and sensor in (Sensor.STEREO, Sensor.IMU_STEREO)
+        ):
+            from ..ops.camera import Camera as _Camera
+            from ..utils.rectify import stereo_rectify
+
+            cam2 = s.camera2
+            if self._resize:
+                cam2 = cam2.scaled(self._scale_x, self._scale_y)
+
+            def _K(c):
+                return np.array(
+                    [
+                        [float(c.fx), 0.0, float(c.cx)],
+                        [0.0, float(c.fy), float(c.cy)],
+                        [0.0, 0.0, 1.0],
+                    ]
+                )
+
+            rect = stereo_rectify(
+                _K(cam), np.asarray(cam.dist, np.float64),
+                _K(cam2), np.asarray(cam2.dist, np.float64),
+                np.asarray(s.Tlr, np.float64), (height, width),
+            )
+            self._rect = rect
+            cam = _Camera.pinhole(
+                rect.K_new[0, 0], rect.K_new[1, 1],
+                rect.K_new[0, 2], rect.K_new[1, 2],
+            )
+            # Rectification rotates camera 1 by R1: the body-from-camera
+            # extrinsic must follow (Tbc = Tbc * T_r1_u1^-1,
+            # src/Settings.cc:524-530).
+            if imu_Tbc is not None:
+                T_u1_r1 = np.eye(4)
+                T_u1_r1[:3, :3] = np.asarray(rect.R1).T
+                imu_Tbc = np.asarray(imu_Tbc, np.float64) @ T_u1_r1
         imu_cfg = None
         if sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO, Sensor.IMU_RGBD):
             if s.imu is None:
@@ -68,9 +149,11 @@ class System:
                 walk_gyro=s.imu.walk_gyro,
                 walk_acc=s.imu.walk_acc,
                 freq=s.imu.frequency,
-                Tbc=s.imu.Tbc,
+                Tbc=np.asarray(imu_Tbc, np.float32),
             )
         bf = (s.bf or 0.0) * self._scale_x
+        if self._rect is not None:
+            bf = self._rect.bf
         # Unrectified fisheye rig (TUM-VI): Camera2 + Stereo.T_c1_c2
         # (left-from-right). The tracker wants T_rl (right-from-left =
         # inverse) and bf derived from the baseline (Settings.cc computes
@@ -165,6 +248,26 @@ class System:
         self._viewer_update(img_p)
         return T
 
+    def _remap_pair(self, img_l: np.ndarray, img_r: np.ndarray):
+        """On-device stereo rectification (the cv::remap calls of
+        System::TrackStereo, src/System.cc:282-301)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.image import remap_bilinear
+
+        if not hasattr(self, "_rect_maps"):
+            r = self._rect
+            self._rect_maps = tuple(
+                jnp.asarray(m)
+                for m in (r.map1_x, r.map1_y, r.map2_x, r.map2_y)
+            )
+            self._remap_jit = jax.jit(remap_bilinear)
+        m1x, m1y, m2x, m2y = self._rect_maps
+        out_l = self._remap_jit(jnp.asarray(img_l), m1x, m1y)
+        out_r = self._remap_jit(jnp.asarray(img_r), m2x, m2y)
+        return np.asarray(out_l), np.asarray(out_r)
+
     def track_stereo(
         self,
         img_left: np.ndarray,
@@ -176,8 +279,11 @@ class System:
             raise RuntimeError("System was shut down")
         t0 = time.perf_counter()
         img_l = self._preprocess(img_left)
+        img_r = self._preprocess(img_right)
+        if self._rect is not None:
+            img_l, img_r = self._remap_pair(img_l, img_r)
         T = self.tracker.track_stereo(
-            img_l, self._preprocess(img_right), timestamp, imu=imu,
+            img_l, img_r, timestamp, imu=imu,
         )
         self.timers.add("track_total", time.perf_counter() - t0)
         self._viewer_update(img_l)

@@ -55,6 +55,11 @@ class Settings:
     new_height: int | None = None
     load_atlas: str | None = None
     save_atlas: str | None = None
+    # Legacy (pre-1.0) explicit stereo-rectification blocks LEFT.*/RIGHT.*
+    # (K, D, R, P per side — the old examples fed these to
+    # cv::initUndistortRectifyMap themselves). Dicts with keys K, D, R, P.
+    left_rect: dict | None = None
+    right_rect: dict | None = None
 
 
 def _load_yaml(path: str) -> dict:
@@ -103,13 +108,99 @@ def _matrix(d, key) -> np.ndarray | None:
     return np.asarray(v, np.float32)
 
 
+def _load_legacy(d: dict) -> Settings:
+    """Pre-1.0 config schema: flat `Camera.*` keys, `Tbc`, `ThDepth`,
+    `Tlr` + `Camera.lappingBegin/End` for fisheye stereo (the reference
+    parses these in Tracking::ParseCamParamFile/ParseORBParamFile/
+    ParseIMUParamFile, src/Tracking.cc:604-1308; e.g.
+    Examples_old/Stereo-Inertial/EuRoC.yaml)."""
+    cam_type = d.get("Camera.type", "PinHole")
+    if cam_type == "KannalaBrandt8":
+        cam1 = _camera_from(d, "Camera", cam_type)
+        cam2 = (
+            _camera_from(d, "Camera2", cam_type)
+            if any(k.startswith("Camera2.") for k in d)
+            else None
+        )
+    else:
+        cam1 = _camera_from(d, "Camera", cam_type)
+        cam2 = None
+    imu = None
+    if "IMU.Frequency" in d:
+        imu = ImuSettings(
+            noise_gyro=float(d["IMU.NoiseGyro"]),
+            noise_acc=float(d["IMU.NoiseAcc"]),
+            walk_gyro=float(d["IMU.GyroWalk"]),
+            walk_acc=float(d["IMU.AccWalk"]),
+            frequency=float(d["IMU.Frequency"]),
+            Tbc=_matrix(d, "Tbc"),
+        )
+    width = int(d["Camera.width"])
+    height = int(d["Camera.height"])
+    scale = float(d.get("Camera.imageScale", 1.0))
+    new_w = new_h = None
+    if scale != 1.0:
+        new_w, new_h = int(round(width * scale)), int(round(height * scale))
+    bf = None if "Camera.bf" not in d else float(d["Camera.bf"])
+
+    def _rect_block(side: str) -> dict | None:
+        if f"{side}.K" not in d:
+            return None
+        return {
+            "K": _matrix(d, f"{side}.K").reshape(3, 3),
+            "D": _matrix(d, f"{side}.D").reshape(-1),
+            "R": _matrix(d, f"{side}.R").reshape(3, 3),
+            "P": _matrix(d, f"{side}.P").reshape(3, 4),
+        }
+
+    return Settings(
+        camera_type=cam_type,
+        camera=cam1,
+        camera2=cam2,
+        width=width,
+        height=height,
+        fps=float(d.get("Camera.fps", 30.0)),
+        rgb=bool(d.get("Camera.RGB", 1)),
+        n_features=int(d.get("ORBextractor.nFeatures", 1000)),
+        scale_factor=float(d.get("ORBextractor.scaleFactor", 1.2)),
+        n_levels=int(d.get("ORBextractor.nLevels", 8)),
+        ini_th_fast=int(d.get("ORBextractor.iniThFAST", 20)),
+        min_th_fast=int(d.get("ORBextractor.minThFAST", 7)),
+        Tlr=_matrix(d, "Tlr"),
+        lapping1=(
+            (float(d["Camera.lappingBegin"]), float(d["Camera.lappingEnd"]))
+            if "Camera.lappingBegin" in d
+            else None
+        ),
+        lapping2=(
+            (float(d["Camera2.lappingBegin"]), float(d["Camera2.lappingEnd"]))
+            if "Camera2.lappingBegin" in d
+            else None
+        ),
+        bf=bf,
+        stereo_th_depth=None if "ThDepth" not in d else float(d["ThDepth"]),
+        imu=imu,
+        depth_map_factor=(
+            None if "DepthMapFactor" not in d else float(d["DepthMapFactor"])
+        ),
+        new_width=new_w,
+        new_height=new_h,
+        load_atlas=d.get("System.LoadAtlasFromFile"),
+        save_atlas=d.get("System.SaveAtlasToFile"),
+        left_rect=_rect_block("LEFT"),
+        right_rect=_rect_block("RIGHT"),
+    )
+
+
 def load_settings(path: str) -> Settings:
     d = _load_yaml(path)
     version = str(d.get("File.version", ""))
     if version != "1.0":
-        raise ValueError(
-            f"unsupported settings version {version!r} (legacy configs not supported)"
-        )
+        # Legacy (pre-1.0) schema, parsed by Tracking::Parse*ParamFile in
+        # the reference (src/Tracking.cc:604-1308).
+        if "Camera.fx" in d or "Camera1.fx" not in d:
+            return _load_legacy(d)
+        raise ValueError(f"unsupported settings version {version!r}")
     cam_type = d["Camera.type"]
     cam1 = _camera_from(d, "Camera1", cam_type)
     cam2 = None

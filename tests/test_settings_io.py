@@ -69,10 +69,162 @@ def test_load_imu(tmp_path):
     np.testing.assert_allclose(s.imu.Tbc[3], [0, 0, 0, 1])
 
 
-def test_load_rejects_legacy(tmp_path):
+LEGACY_YAML = """%YAML:1.0
+Camera.type: "PinHole"
+Camera.fx: 435.2046959714599
+Camera.fy: 435.2046959714599
+Camera.cx: 367.4517211914062
+Camera.cy: 252.2008514404297
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.width: 752
+Camera.height: 480
+Camera.fps: 20.0
+Camera.bf: 47.90639384423901
+Camera.RGB: 1
+ThDepth: 35.0
+Tbc: !!opencv-matrix
+   rows: 4
+   cols: 4
+   dt: f
+   data: [1.0, 0.0, 0.0, 0.01,
+          0.0, 1.0, 0.0, 0.02,
+          0.0, 0.0, 1.0, 0.03,
+          0.0, 0.0, 0.0, 1.0]
+IMU.NoiseGyro: 1.7e-4
+IMU.NoiseAcc: 2.0e-3
+IMU.GyroWalk: 1.9e-5
+IMU.AccWalk: 3.0e-3
+IMU.Frequency: 200
+ORBextractor.nFeatures: 1200
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+LEFT.height: 480
+LEFT.width: 752
+LEFT.D: !!opencv-matrix
+   rows: 1
+   cols: 5
+   dt: d
+   data: [-0.28, 0.07, 0.0002, 1.8e-05, 0.0]
+LEFT.K: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [458.654, 0.0, 367.215, 0.0, 457.296, 248.375, 0.0, 0.0, 1.0]
+LEFT.R: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+LEFT.P: !!opencv-matrix
+   rows: 3
+   cols: 4
+   dt: d
+   data: [435.2046959714599, 0, 367.4517211914062, 0, 0, 435.2046959714599, 252.2008514404297, 0, 0, 0, 1, 0]
+RIGHT.height: 480
+RIGHT.width: 752
+RIGHT.D: !!opencv-matrix
+   rows: 1
+   cols: 5
+   dt: d
+   data: [-0.284, 0.074, -0.0001, 2.0e-05, 0.0]
+RIGHT.K: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [457.587, 0.0, 379.999, 0.0, 456.134, 255.238, 0.0, 0.0, 1.0]
+RIGHT.R: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+RIGHT.P: !!opencv-matrix
+   rows: 3
+   cols: 4
+   dt: d
+   data: [435.2046959714599, 0, 367.4517211914062, -47.90639384423901, 0, 435.2046959714599, 252.2008514404297, 0, 0, 0, 1, 0]
+"""
+
+LEGACY_FISHEYE_YAML = """%YAML:1.0
+Camera.type: "KannalaBrandt8"
+Camera.fx: 190.978477
+Camera.fy: 190.973307
+Camera.cx: 254.931706
+Camera.cy: 256.897443
+Camera.k1: 0.003482389402
+Camera.k2: 0.000715034845
+Camera.k3: -0.002053236141
+Camera.k4: 0.000202936736
+Camera2.fx: 190.44236969414825
+Camera2.fy: 190.4344384721956
+Camera2.cx: 252.59949716835982
+Camera2.cy: 254.91723064636983
+Camera2.k1: 0.0034003170790442797
+Camera2.k2: 0.001766278153469831
+Camera2.k3: -0.00266312569781606
+Camera2.k4: 0.0003299517423931039
+Tlr: !!opencv-matrix
+   rows: 3
+   cols: 4
+   dt: f
+   data: [0.999997, -0.002318, 0.000343, 0.101063,
+          0.002312, 0.999898, 0.014060, -0.001946,
+          -0.000376, -0.014059, 0.999901, 0.000931]
+Camera.lappingBegin: 0
+Camera.lappingEnd: 511
+Camera2.lappingBegin: 0
+Camera2.lappingEnd: 511
+Camera.width: 512
+Camera.height: 512
+Camera.fps: 20.0
+Camera.RGB: 1
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
+
+def test_load_legacy_pinhole_inertial(tmp_path):
+    """Pre-1.0 flat-key schema (Tracking::Parse*ParamFile,
+    src/Tracking.cc:604-1308; Examples_old/Stereo-Inertial/EuRoC.yaml)."""
+    p = tmp_path / "legacy.yaml"
+    p.write_text(LEGACY_YAML)
+    s = load_settings(str(p))
+    assert s.camera_type == "PinHole"
+    assert abs(float(s.camera.fx) - 435.2046959714599) < 1e-4
+    assert s.bf == pytest.approx(47.90639384423901)
+    assert s.stereo_th_depth == 35.0
+    assert s.n_features == 1200
+    assert s.imu is not None and s.imu.frequency == 200.0
+    np.testing.assert_allclose(s.imu.Tbc[:3, 3], [0.01, 0.02, 0.03], atol=1e-6)
+    # Explicit LEFT/RIGHT rectification blocks parsed.
+    assert s.left_rect is not None and s.right_rect is not None
+    assert s.left_rect["K"].shape == (3, 3)
+    assert s.right_rect["P"].shape == (3, 4)
+    np.testing.assert_allclose(s.right_rect["P"][0, 3], -47.9064, atol=1e-3)
+
+
+def test_load_legacy_fisheye_stereo(tmp_path):
+    p = tmp_path / "legacy_kb8.yaml"
+    p.write_text(LEGACY_FISHEYE_YAML)
+    s = load_settings(str(p))
+    assert s.camera_type == "KannalaBrandt8"
+    assert s.camera2 is not None
+    assert s.lapping1 == (0.0, 511.0)
+    assert s.Tlr is not None
+    np.testing.assert_allclose(s.Tlr[0, 3], 0.101063, atol=1e-5)
+
+
+def test_load_rejects_malformed(tmp_path):
     p = tmp_path / "settings.yaml"
-    p.write_text("%YAML:1.0\nCamera.fx: 458.0\n")
-    with pytest.raises(ValueError):
+    p.write_text("%YAML:1.0\nSomething.else: 1\n")
+    with pytest.raises((ValueError, KeyError)):
         load_settings(str(p))
 
 
