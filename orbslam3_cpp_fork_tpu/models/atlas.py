@@ -153,6 +153,7 @@ class Atlas:
         self.maps.pop(src_idx)
         if dst_idx > src_idx:
             self.active_idx = dst_idx - 1
+        dst.big_change_idx += 1
         log.info(
             "atlas: merged map %d into map %d (%d KFs, %d landmarks moved)",
             src.map_id, dst.map_id, len(src_kfs), len(src_lms),

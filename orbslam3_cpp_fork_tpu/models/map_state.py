@@ -49,6 +49,10 @@ class MapState:
     def __init__(self, cfg: MapConfig = MapConfig(), map_id: int = 0):
         self.cfg = cfg
         self.map_id = map_id
+        # Bumped on loop correction / merge / IMU-init rescale / global
+        # BA (Map big-change index, src/Map.cc:154-162); consumed by
+        # System.map_changed().
+        self.big_change_idx = 0
         K, L, N = cfg.max_keyframes, cfg.max_landmarks, cfg.n_features
 
         # Keyframes.
@@ -331,6 +335,7 @@ class MapState:
         """Rotate the world so gravity is -z and rescale to metric
         (Map::ApplyScaledRotation, src/Map.cc:257-288): X_y = s Ryw X_w,
         Rcy = Rcw Ryw^T, tcy = s tcw, v_y = s Ryw v_w."""
+        self.big_change_idx += 1
         valid_k = self.kf_valid
         self.kf_R[valid_k] = self.kf_R[valid_k] @ Ryw.T
         self.kf_t[valid_k] = s * self.kf_t[valid_k]

@@ -390,6 +390,7 @@ class LoopCloser:
 
         self.last_loop_kf = k
         self.n_loops_closed += 1
+        m.big_change_idx += 1
         # Persist the loop edge for future essential graphs.
         sji, Rji, tji = pose_graph.relative_sim3(
             np.ones(m.cfg.max_keyframes, np.float32), m.kf_R, m.kf_t, c, k

@@ -345,6 +345,50 @@ class System:
     def is_lost(self) -> bool:
         return self.tracker.state in (TrackState.LOST, TrackState.RECENTLY_LOST)
 
+    def is_shutdown(self) -> bool:
+        """System::isShutDown (include/System.h:129)."""
+        return self._shutdown
+
+    def map_changed(self) -> bool:
+        """System::MapChanged (include/System.h:119): true once per big
+        map change (loop closure / global BA / IMU init rescale)."""
+        idx = self.tracker.map.big_change_idx
+        if idx > getattr(self, "_last_big_change", 0):
+            self._last_big_change = idx
+            return True
+        return False
+
+    def get_image_scale(self) -> float:
+        """System::GetImageScale: resize factor applied to inputs."""
+        return float(self._scale_x)
+
+    def get_time_from_imu_init(self) -> float:
+        """Seconds since the active map's IMU initialization
+        (System::GetTimeFromIMUInit); 0.0 if not initialized."""
+        tr = self.tracker
+        m = tr.map
+        if not tr.inertial or m.imu_stage < 1 or m.imu_t0 < 0:
+            return 0.0
+        if tr.last is None:
+            return 0.0
+        return float(tr.last.timestamp - m.imu_t0)
+
+    def get_tracked_map_points(self) -> np.ndarray:
+        """Landmark indices bound to the current frame's features, -1
+        where unbound (System::GetTrackedMapPoints)."""
+        f = self.tracker.last
+        if f is None:
+            return np.zeros(0, np.int32)
+        return f.lm_idx.copy()
+
+    def get_tracked_keypoints_un(self) -> np.ndarray:
+        """Undistorted keypoints of the current frame (N,2)
+        (System::GetTrackedKeyPointsUn)."""
+        f = self.tracker.last
+        if f is None:
+            return np.zeros((0, 2), np.float32)
+        return f.xy.copy()
+
     @property
     def atlas(self):
         return self.tracker.atlas
@@ -365,6 +409,23 @@ class System:
         for i, k in enumerate(ks):
             Twc[i, :3, :3] = m.kf_R[k].T
             Twc[i, :3, 3] = -m.kf_R[k].T @ m.kf_t[k]
+        write_tum(path, m.kf_timestamp[ks], Twc)
+
+    def save_keyframe_trajectory_euroc(self, path: str):
+        """System::SaveKeyFrameTrajectoryEuRoC (src/System.cc:1096):
+        keyframe poses, body frame when inertial."""
+        m = self.tracker.map
+        ks = np.nonzero(m.kf_valid)[0]
+        ks = ks[np.argsort(m.kf_timestamp[ks])]
+        Twc = np.tile(np.eye(4), (len(ks), 1, 1))
+        for i, k in enumerate(ks):
+            Twc[i, :3, :3] = m.kf_R[k].T
+            Twc[i, :3, 3] = -m.kf_R[k].T @ m.kf_t[k]
+        if self.tracker.inertial:
+            Tbc = np.eye(4, dtype=np.float64)
+            Tbc[:3, :3] = self.tracker.Rbc
+            Tbc[:3, 3] = self.tracker.tbc
+            Twc = Twc @ np.linalg.inv(Tbc)[None]
         write_tum(path, m.kf_timestamp[ks], Twc)
 
     def save_trajectory_euroc(self, path: str):

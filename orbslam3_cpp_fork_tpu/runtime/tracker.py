@@ -1697,6 +1697,7 @@ class Tracker:
         """Re-anchor live tracking state after a global map change
         (Tracking::UpdateFrameIMU, src/Tracking.cc:3802)."""
         m = self.map
+        m.big_change_idx += 1
         frame.R = m.kf_R[k].copy()
         frame.t = m.kf_t[k].copy()
         self.cur_v = m.kf_vel[k].copy()

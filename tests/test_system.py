@@ -141,3 +141,26 @@ def test_shutdown_reports_timings(ran_system):
     assert stats["track_total"]["count"] > 30
     with pytest.raises(RuntimeError):
         slam.track_monocular(np.zeros((480, 640), np.float32), 99.0)
+
+
+def test_system_query_api(ran_system, tmp_path):
+    """The small System accessors (include/System.h:119-175):
+    MapChanged, GetImageScale, GetTrackedMapPoints/KeyPointsUn,
+    SaveKeyFrameTrajectoryEuRoC, isShutDown."""
+    slam, stamps, d = ran_system
+    assert slam.get_image_scale() == 1.0
+    # test_shutdown_reports_timings already shut the shared fixture down.
+    assert slam.is_shutdown()
+    lm = slam.get_tracked_map_points()
+    kp = slam.get_tracked_keypoints_un()
+    assert lm.shape[0] == kp.shape[0] > 0
+    assert (lm >= 0).sum() > 10  # current frame is tracking landmarks
+    # map_changed is one-shot per big change; no loop/IMU events ran here,
+    # but forcing the index must surface exactly once.
+    slam.tracker.map.big_change_idx += 1
+    assert slam.map_changed()
+    assert not slam.map_changed()
+    kf_euroc = str(d / "kf_euroc.txt")
+    slam.save_keyframe_trajectory_euroc(kf_euroc)
+    ts_kf, _ = read_tum(kf_euroc)
+    assert len(ts_kf) == slam.tracker.map.n_keyframes()
