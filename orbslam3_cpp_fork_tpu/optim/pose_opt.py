@@ -81,35 +81,86 @@ def pose_optimization(
         cost = jnp.sum(jnp.where(w, w_huber * chi2, 0.0))
         return H, b, cost, chi2, z
 
-    def gn_iter(_, carry):
-        R, t, inlier, robust = carry
-        H, b, cost, _, _ = build_system(R, t, inlier, robust)
+    delta2 = jnp.where(is_stereo, residuals.CHI2_STEREO, residuals.CHI2_MONO)
+
+    # One scan over rounds*iters GN steps. The between-round chi2
+    # re-classification is folded into the first linearization of each
+    # round (chi2 is computed for every observation anyway), so the
+    # whole schedule costs rounds*iters + 1 linearizations instead of
+    # rounds*(iters+1).
+    def gn_step(carry, xs):
+        R, t, inlier = carry
+        reclass, robust = xs
+        # Linearize once; reclassification reuses the same residuals
+        # (it only changes the weight mask).
+        r3, Jp3, _, z = residuals.stereo_reprojection(R, t, Xw, uvr, fx, fy, bf)
+        w_row = jnp.where(is_stereo[:, None], 1.0, jnp.array([1.0, 1.0, 0.0]))
+        r = r3 * w_row
+        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        inlier = jnp.where(
+            reclass, valid & (chi2 <= delta2) & (z > 0), inlier
+        )
+        w_huber = jnp.where(robust, residuals.huber_weight(chi2, delta2), 1.0)
+        wgt = (inlier & valid & (z > 0)).astype(r.dtype) * inv_sigma2 * w_huber
+        Jp = Jp3 * w_row[..., None]
+        H = jnp.einsum("nri,n,nrj->ij", Jp, wgt, Jp)
+        b = -jnp.einsum("nri,n,nr->i", Jp, wgt, r)
         # Small fixed Levenberg damping keeps steps stable without a
         # host-synced accept/reject loop.
         damp = 1e-3 * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
-        dx = jnp.linalg.solve(H + damp, b)
+        dx = chol_solve6(H + damp, b)
         dR, dt = lie.se3_exp(dx)
         R_new, t_new = lie.se3_mul(dR, dt, R, t)
         # Guard: reject non-finite updates.
         ok = jnp.all(jnp.isfinite(dx))
         R_new = jnp.where(ok, R_new, R)
         t_new = jnp.where(ok, t_new, t)
-        return (lie.so3_normalize(R_new), t_new, inlier, robust)
+        return (lie.so3_normalize(R_new), t_new, inlier), None
 
-    def round_body(carry, ri):
-        R, t, inlier = carry
-        robust = ri < 2  # kernel dropped for rounds 3,4 (reference :957)
-        R, t, inlier, _ = jax.lax.fori_loop(
-            0, iters, gn_iter, (R, t, inlier, robust)
-        )
-        # Re-classify inliers at the updated pose.
-        _, _, _, chi2, z = build_system(R, t, jnp.ones_like(inlier), False)
-        delta2 = jnp.where(is_stereo, residuals.CHI2_STEREO, residuals.CHI2_MONO)
-        inlier = valid & (chi2 <= delta2) & (z > 0)
-        return (R, t, inlier), None
-
-    init = (R0, t0, valid)
-    (R, t, inlier), _ = jax.lax.scan(init=init, f=round_body, xs=jnp.arange(rounds))
+    steps = jnp.arange(rounds * iters)
+    reclass_f = (steps % iters == 0) & (steps > 0)
+    robust_f = (steps // iters) < 2  # kernel dropped rounds 3,4 (:957)
+    (R, t, inlier), _ = jax.lax.scan(
+        gn_step, (R0, t0, valid), (reclass_f, robust_f)
+    )
+    # Final re-classification at the converged pose.
+    _, _, _, chi2, z = build_system(R, t, jnp.ones_like(inlier), False)
+    inlier = valid & (chi2 <= delta2) & (z > 0)
     return PoseOptResult(
         R=R, t=t, inliers=inlier, n_inliers=jnp.sum(inlier.astype(jnp.int32))
     )
+
+
+def chol_solve6(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Unrolled Cholesky solve for a small SPD system (static n<=8).
+
+    jnp.linalg.solve lowers to LU with partial pivoting — a long
+    sequential scalar program on TPU that costs more than the whole
+    2048-point linearization feeding it. An unrolled Cholesky is ~60
+    fused scalar ops."""
+    n = A.shape[0]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        Ljj = jnp.sqrt(jnp.maximum(s, 1e-20))
+        L[j][j] = Ljj
+        for i in range(j + 1, n):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s / Ljj
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
