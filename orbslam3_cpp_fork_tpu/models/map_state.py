@@ -394,6 +394,29 @@ class MapState:
             for lm in ids:
                 self._native.remove_landmark(int(lm))
 
+    def replace_landmark(self, old: int, new: int):
+        """Merge landmark `old` into `new` (MapPoint::Replace,
+        src/MapPoint.cc:301): rebind every observation (dropping
+        keyframes that already observe `new`), carry over found/visible
+        counters, invalidate `old`."""
+        if old == new or not self.lm_valid[old] or not self.lm_valid[new]:
+            return
+        ks = np.nonzero(self.obs[:, old])[0]
+        for ki in ks:
+            for f in np.nonzero(self.kf_lm_idx[ki] == old)[0]:
+                if self.obs[ki, new]:
+                    self.kf_lm_idx[ki, f] = -1  # already observes new
+                else:
+                    self.kf_lm_idx[ki, f] = new
+                    self.obs[ki, new] = True
+                    self.lm_obs_count[new] += 1
+        self.obs[:, old] = False
+        self.lm_valid[old] = False
+        self.lm_obs_count[old] = 0
+        self.mark_obs_dirty()  # direct obs writes bypass the native mirror
+        self.lm_found[new] += self.lm_found[old]
+        self.lm_visible[new] += self.lm_visible[old]
+
     def add_observation(self, k: int, feat_idx: np.ndarray, lm_ids: np.ndarray):
         """Bind features of KF k to landmarks (MapPoint::AddObservation +
         KeyFrame::AddMapPoint)."""

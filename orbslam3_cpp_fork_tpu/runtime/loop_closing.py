@@ -446,25 +446,7 @@ class LoopCloser:
             log.info("loop fuse: %d duplicate bindings merged", n_fused)
 
     def _replace_landmark(self, old: int, new: int):
-        m = self.m
-        if old == new or not m.lm_valid[old]:
-            return
-        ks = np.nonzero(m.obs[:, old])[0]
-        for ki in ks:
-            feats = np.nonzero(m.kf_lm_idx[ki] == old)[0]
-            for f in feats:
-                if m.obs[ki, new]:
-                    m.kf_lm_idx[ki, f] = -1  # already observes new
-                else:
-                    m.kf_lm_idx[ki, f] = new
-                    m.obs[ki, new] = True
-                    m.lm_obs_count[new] += 1
-        m.obs[:, old] = False
-        m.lm_valid[old] = False
-        m.lm_obs_count[old] = 0
-        m.mark_obs_dirty()  # direct obs writes above bypass the native mirror
-        m.lm_found[new] += m.lm_found[old]
-        m.lm_visible[new] += m.lm_visible[old]
+        self.m.replace_landmark(old, new)
 
     def _essential_graph(
         self, k: int, c: int, window, S_new, R_snap, t_snap, lm_anchor

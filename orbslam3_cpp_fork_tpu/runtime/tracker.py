@@ -1524,6 +1524,10 @@ class Tracker:
         if new_ids:
             m.update_landmark_stats(np.asarray(new_ids))
 
+        # Fuse duplicate landmarks with the covisibility neighborhood
+        # (LocalMapping::SearchInNeighbors, src/LocalMapping.cc:743).
+        self._search_in_neighbors(k)
+
         # Cull weak recent landmarks (MapPointCulling :382-416).
         self._cull_landmarks()
 
@@ -2032,6 +2036,137 @@ class Tracker:
         m.add_observation(k1, f1, ids)
         m.add_observation(k2, f2, ids)
         return [int(i) for i in ids]
+
+    def _fuse_into_kf(self, lm_ids: np.ndarray, kf: int) -> int:
+        """Project landmarks into keyframe `kf`, match descriptors inside
+        3-sigma windows, and fuse: a match bound to a different landmark
+        merges into whichever has more observations (MapPoint::Replace
+        policy of ORBmatcher::Fuse, src/ORBmatcher.cc:1149); an unbound
+        match gains an observation."""
+        m = self.map
+        lm_ids = lm_ids[m.lm_valid[lm_ids]][: self.cfg.local_lm_cap]
+        if len(lm_ids) == 0:
+            return 0
+        pc = m.lm_pos[lm_ids] @ m.kf_R[kf].T + m.kf_t[kf]
+        z = pc[:, 2]
+        u = self.fx * pc[:, 0] / np.maximum(z, 1e-6) + self.cx
+        v = self.fy * pc[:, 1] / np.maximum(z, 1e-6) + self.cy
+        okp = (
+            (z > 0.05)
+            & (u >= 0) & (u < self.cfg.width)
+            & (v >= 0) & (v < self.cfg.height)
+        )
+        # Scale-invariance distance band + viewing angle (Fuse's
+        # isInFrustum-style gates, src/ORBmatcher.cc:1190-1215).
+        c = -m.kf_R[kf].T @ m.kf_t[kf]
+        d = m.lm_pos[lm_ids] - c
+        dist = np.linalg.norm(d, axis=1)
+        okp &= (dist >= m.lm_min_dist[lm_ids]) & (dist <= m.lm_max_dist[lm_ids])
+        cosv = np.sum(d * m.lm_normal[lm_ids], axis=1) / np.maximum(dist, 1e-9)
+        okp &= cosv > 0.5
+        if okp.sum() < 3:
+            return 0
+        # Predicted octave from the distance band (MapPoint::PredictScale).
+        ratio = np.maximum(m.lm_max_dist[lm_ids] / np.maximum(dist, 1e-9), 1.0)
+        lvl = np.clip(
+            np.ceil(np.log(ratio) / np.log(SCALE_FACTOR)), 0, N_LEVELS - 1
+        ).astype(np.int32)
+        radius = 3.0 * SCALE_FACTOR ** lvl.astype(np.float32)
+        bits = np.unpackbits(
+            m.lm_desc[lm_ids].view(np.uint8), axis=-1, bitorder="little"
+        ).astype(np.int8)
+        idx, mok = matching.search_by_projection(
+            jnp.asarray(bits), jnp.asarray(okp),
+            jnp.asarray(np.stack([u, v], 1).astype(np.float32)),
+            jnp.asarray(lvl),
+            jnp.asarray(self._kf_bits(kf)), jnp.asarray(m.kf_xy[kf]),
+            jnp.asarray(m.kf_level[kf]), jnp.asarray(m.kf_feat_valid[kf]),
+            jnp.asarray(radius),
+            max_dist=matching.TH_LOW, ratio=1.0, level_band=1,
+        )
+        idx = np.asarray(idx)
+        mok = np.asarray(mok)
+        # Reprojection chi2 gate on the matched feature (Fuse accepts a
+        # candidate only at e2 <= 5.99 sigma2 of the keypoint's octave,
+        # src/ORBmatcher.cc:1231-1260) — without this, a wide predicted
+        # window admits false merges that corrupt the map geometry.
+        uv_pred = np.stack([u, v], 1)
+        e2 = np.sum((m.kf_xy[kf][idx] - uv_pred) ** 2, axis=1)
+        sig2 = SCALE_FACTOR ** (2.0 * m.kf_level[kf][idx].astype(np.float32))
+        mok = mok & (e2 <= 5.991 * sig2)
+        n_fused = 0
+        for j in np.nonzero(mok)[0]:
+            lm = int(lm_ids[j])
+            if not m.lm_valid[lm]:
+                continue  # merged away earlier in this loop
+            f = int(idx[j])
+            cur = int(m.kf_lm_idx[kf, f])
+            if cur == lm:
+                continue
+            if cur >= 0 and m.lm_valid[cur]:
+                # Positional sanity on merges: two bindings may pass the
+                # descriptor + window gates yet belong to different 3D
+                # points (repetitive texture); a bad merge corrupts the
+                # geometry globally. Triangulation noise is anisotropic:
+                # along the viewing ray it scales with depth^2 (true
+                # duplicates may disagree a lot), laterally it is tiny.
+                # Gate laterally at ~2% of depth, along-ray at ~25%.
+                cc = -m.kf_R[kf].T @ m.kf_t[kf]
+                ray = m.lm_pos[cur] - cc
+                depth = max(float(np.linalg.norm(ray)), 1e-3)
+                ray = ray / depth
+                delta = m.lm_pos[lm] - m.lm_pos[cur]
+                along = float(delta @ ray)
+                perp = float(np.linalg.norm(delta - along * ray))
+                if perp > 0.02 * depth or abs(along) > 0.25 * depth:
+                    continue
+                if m.lm_obs_count[cur] >= m.lm_obs_count[lm]:
+                    m.replace_landmark(lm, cur)
+                else:
+                    m.replace_landmark(cur, lm)
+            else:
+                m.add_observation(kf, np.asarray([f]), np.asarray([lm]))
+            n_fused += 1
+        return n_fused
+
+    def _search_in_neighbors(self, k: int):
+        """Duplicate-landmark fusion after a keyframe insertion
+        (LocalMapping::SearchInNeighbors, src/LocalMapping.cc:743):
+        project the new KF's landmarks into its first- and second-order
+        covisible keyframes and the neighborhood's landmarks back into
+        the new KF, merging duplicates both ways. Target count is
+        bounded (the reference visits 10 + 5-per-neighbor; we cap the
+        flattened set to bound host work per insertion)."""
+        m = self.map
+        n1, _ = m.covisible_keyframes(k, min_weight=15, top=10)
+        targets: list[int] = []
+        seen = {int(k)}
+        for n in [int(x) for x in n1]:
+            if n not in seen:
+                targets.append(n)
+                seen.add(n)
+            n2, _ = m.covisible_keyframes(n, min_weight=15, top=5)
+            for nn in [int(x) for x in n2]:
+                if nn not in seen:
+                    targets.append(nn)
+                    seen.add(nn)
+        targets = targets[:12]
+        if not targets:
+            return
+        n_fused = 0
+        cur_lms = m.kf_lm_idx[k]
+        cur_lms = np.unique(cur_lms[cur_lms >= 0])
+        for i in targets:
+            n_fused += self._fuse_into_kf(cur_lms, int(i))
+        fuse_lms = m.kf_lm_idx[np.asarray(targets)]
+        fuse_lms = np.unique(fuse_lms[fuse_lms >= 0])
+        n_fused += self._fuse_into_kf(fuse_lms, int(k))
+        if n_fused:
+            # Refresh descriptors/normals of everything the new KF sees
+            # (UpdateConnections + UpdateNormalAndDepth after Fuse).
+            cur = m.kf_lm_idx[k]
+            m.update_landmark_stats(np.unique(cur[cur >= 0]))
+            log.debug("fused %d duplicate landmarks around KF %d", n_fused, k)
 
     def _cull_keyframes(self, k: int):
         """Remove covisible keyframes whose landmarks are >=90% redundant:
