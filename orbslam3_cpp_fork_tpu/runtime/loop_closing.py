@@ -75,6 +75,10 @@ class LoopCloser:
         self.pending: tuple[int, int] | None = None  # (kf, candidate)
         self.n_loops_closed = 0
         self.n_merges = 0
+        # Whole-map bundle adjustment after loop correction, bound by the
+        # Tracker (the reference spawns RunGlobalBundleAdjustment,
+        # src/LoopClosing.cc:1346,2306). Called as hook(kf, candidate).
+        self.global_ba_hook = None
         # Persisted loop edges: (map_id, i, j, (s, R, t)).
         self.loop_edges: list[tuple[int, int, int, tuple]] = []
         self._rng = np.random.default_rng(7)
