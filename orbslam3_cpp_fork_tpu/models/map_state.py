@@ -172,7 +172,6 @@ class MapState:
         depth: np.ndarray | None = None,
     ) -> int:
         k = self.alloc_keyframe()
-        self.kf_valid[k] = True
         self.kf_R[k] = R
         self.kf_t[k] = t
         self.kf_timestamp[k] = timestamp
@@ -191,6 +190,10 @@ class MapState:
         self.obs[k, :] = False
         self.obs[k, seen] = True
         self.lm_obs_count[seen] += 1
+        # Validity flips LAST: concurrent lock-free readers (the track
+        # thread under the mapping pipeline) must never see a
+        # half-initialized row behind a True validity bit.
+        self.kf_valid[k] = True
         if self._native is not None and not self._native_dirty:
             self._native.add_keyframe(int(k))
             if len(seen):
@@ -363,7 +366,6 @@ class MapState:
         max_dist: np.ndarray,
     ) -> np.ndarray:
         ids = self.alloc_landmarks(len(pos))
-        self.lm_valid[ids] = True
         self.lm_pos[ids] = pos
         self.lm_desc[ids] = desc_packed
         self.lm_desc_i8[ids] = desc_i8
@@ -375,6 +377,8 @@ class MapState:
         self.lm_obs_count[ids] = 0
         self.lm_visible[ids] = 1
         self.lm_found[ids] = 1
+        # Validity LAST (lock-free reader discipline; see add_keyframe).
+        self.lm_valid[ids] = True
         return ids
 
     def remove_landmarks(self, ids: np.ndarray):
@@ -490,53 +494,103 @@ class MapState:
     def n_landmarks(self) -> int:
         return int(self.lm_valid.sum())
 
+    MAX_STAT_OBS = 16  # observations per landmark considered for stats
+
     def update_landmark_stats(self, ids: np.ndarray):
         """Recompute representative descriptor, normal and scale band for
         the given landmarks (MapPoint::ComputeDistinctiveDescriptors +
-        UpdateNormalAndDepth). Host-side: candidate sets are tiny."""
-        for lm in np.asarray(ids):
-            ks = np.nonzero(self.obs[:, lm])[0]
-            if len(ks) == 0:
-                continue
-            # Gather observing descriptors + viewing geometry.
-            descs, dirs, levels = [], [], []
-            for k in ks:
-                f = np.nonzero(self.kf_lm_idx[k] == lm)[0]
-                if len(f) == 0:
-                    continue
-                f = f[0]
-                descs.append(self.kf_desc[k, f])
-                Rwc = self.kf_R[k].T
-                cam_center = -Rwc @ self.kf_t[k]
-                d = self.lm_pos[lm] - cam_center
-                dirs.append(d / max(np.linalg.norm(d), 1e-9))
-                levels.append(self.kf_level[k, f])
-            if not descs:
-                continue
-            D = np.array(descs)  # (n,8) uint32
-            # Min-median-Hamming representative descriptor.
-            x = D[:, None, :] ^ D[None, :, :]
-            dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
-            med = np.median(dist, axis=1)
-            best = int(np.argmin(med))
-            self.lm_desc[lm] = D[best]
-            self.lm_desc_i8[lm] = np.unpackbits(
-                D[best].view(np.uint8), bitorder="little"
-            ).astype(np.int8)
-            self.lm_normal[lm] = np.mean(dirs, axis=0)
-            n = np.linalg.norm(self.lm_normal[lm])
-            if n > 1e-9:
-                self.lm_normal[lm] /= n
-            # Scale band from the reference observation (last one).
-            k_ref = ks[-1]
-            f = np.nonzero(self.kf_lm_idx[k_ref] == lm)[0]
-            if len(f):
-                lvl = int(self.kf_level[k_ref, f[0]])
-                Rwc = self.kf_R[k_ref].T
-                cam_center = -Rwc @ self.kf_t[k_ref]
-                dist_ref = np.linalg.norm(self.lm_pos[lm] - cam_center)
-                self.lm_max_dist[lm] = dist_ref * SCALE_FACTOR**lvl * 1.2
-                self.lm_min_dist[lm] = (
-                    dist_ref * SCALE_FACTOR ** (lvl - N_LEVELS + 1) / 1.2
-                )
-                self.lm_level[lm] = lvl
+        UpdateNormalAndDepth, src/MapPoint.cc:376-541). Fully vectorized
+        over (landmark, observation) pairs — this runs once per keyframe
+        insertion on the mapping stage and a Python loop here stalls the
+        pipeline's track thread through the GIL."""
+        ids = np.asarray(ids)
+        ids = ids[self.lm_valid[ids]] if len(ids) else ids
+        if len(ids) == 0:
+            return
+        obs_sub = self.obs[:, ids]  # (K, n)
+        ks_all = np.nonzero(obs_sub.any(axis=1))[0]
+        if len(ks_all) == 0:
+            return
+        # Feature index of each (kf, lm) pair via per-KF lookup rows.
+        lut = np.full((len(ks_all), self.cfg.max_landmarks), -1, np.int32)
+        for row, k in enumerate(ks_all):  # K rows, vectorized inner
+            sel = self.kf_lm_idx[k] >= 0
+            lut[row, self.kf_lm_idx[k][sel]] = np.nonzero(sel)[0]
+        rows, cols = np.nonzero(obs_sub[ks_all])  # pairs (row into ks_all, col into ids)
+        feats = lut[rows, ids[cols]]
+        good = feats >= 0
+        rows, cols, feats = rows[good], cols[good], feats[good]
+        if len(rows) == 0:
+            return
+        p_kf = ks_all[rows]
+
+        n = len(ids)
+        M = self.MAX_STAT_OBS
+        # Rank pairs within each landmark (stable order by kf slot).
+        order = np.lexsort((p_kf, cols))
+        cols_s, kf_s, f_s = cols[order], p_kf[order], feats[order]
+        starts = np.searchsorted(cols_s, np.arange(n))
+        counts = np.diff(np.append(starts, len(cols_s)))
+        rank = np.arange(len(cols_s)) - starts[cols_s]
+        keep = rank < M
+        cols_k, kf_k, f_k, rank_k = cols_s[keep], kf_s[keep], f_s[keep], rank[keep]
+
+        # Padded per-landmark observation tables.
+        D = np.zeros((n, M, 8), np.uint32)  # packed descriptors
+        Lv = np.zeros((n, M), np.int32)
+        Cc = np.zeros((n, M, 3), np.float32)  # camera centers
+        Vm = np.zeros((n, M), bool)
+        D[cols_k, rank_k] = self.kf_desc[kf_k, f_k]
+        Lv[cols_k, rank_k] = self.kf_level[kf_k, f_k]
+        Cc[cols_k, rank_k] = -np.einsum(
+            "pji,pj->pi", self.kf_R[kf_k], self.kf_t[kf_k]
+        )
+        Vm[cols_k, rank_k] = True
+        n_obs = Vm.sum(axis=1)
+        has = n_obs > 0
+        if not has.any():
+            return
+
+        # Min-median-Hamming representative descriptor per landmark.
+        x = D[:, :, None, :] ^ D[:, None, :, :]  # (n,M,M,8)
+        dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1).astype(np.float32)
+        pair_ok = Vm[:, :, None] & Vm[:, None, :]
+        dist = np.where(pair_ok, dist, np.nan)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN pads
+            med = np.nanmedian(dist, axis=2)  # (n,M)
+        med = np.where(Vm, med, np.inf)
+        best = np.argmin(med, axis=1)  # (n,)
+        bd = D[np.arange(n), best]  # (n,8)
+        sel = ids[has]
+        self.lm_desc[sel] = bd[has]
+        self.lm_desc_i8[sel] = np.unpackbits(
+            bd[has].view(np.uint8), axis=-1, bitorder="little"
+        ).astype(np.int8)
+
+        # Viewing normal: mean unit direction camera->landmark.
+        dirs = self.lm_pos[ids][:, None, :] - Cc  # (n,M,3)
+        dirs = dirs / np.maximum(
+            np.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9
+        )
+        normal = (dirs * Vm[:, :, None]).sum(axis=1) / np.maximum(
+            n_obs[:, None], 1
+        )
+        nn = np.linalg.norm(normal, axis=-1, keepdims=True)
+        normal = np.where(nn > 1e-9, normal / np.maximum(nn, 1e-9), normal)
+        self.lm_normal[sel] = normal[has]
+
+        # Scale band from the reference observation (the last one in
+        # keyframe-slot order = rank n_obs-1, matching the loop's ks[-1]).
+        ref = np.clip(n_obs - 1, 0, M - 1)
+        lvl = Lv[np.arange(n), ref]
+        dist_ref = np.linalg.norm(
+            self.lm_pos[ids] - Cc[np.arange(n), ref], axis=-1
+        )
+        self.lm_max_dist[sel] = (dist_ref * SCALE_FACTOR ** lvl * 1.2)[has]
+        self.lm_min_dist[sel] = (
+            dist_ref * SCALE_FACTOR ** (lvl - N_LEVELS + 1) / 1.2
+        )[has]
+        self.lm_level[sel] = lvl[has]

@@ -186,7 +186,10 @@ def linear_inertial_init(Rwb, twb, edge_i, edge_j, pre, eps=1e-9):
     return s, g, v
 
 
-@partial(jax.jit, static_argnames=("iters", "fix_scale", "fix_gravity"))
+@partial(
+    jax.jit,
+    static_argnames=("iters", "fix_scale", "fix_gravity", "fix_bias", "fix_vel"),
+)
 def inertial_init(
     Rwb: jax.Array,  # (K,3,3) fixed body poses
     twb: jax.Array,  # (K,3)
@@ -202,6 +205,8 @@ def inertial_init(
     iters: int = 60,
     fix_scale: bool = False,
     fix_gravity: bool = False,
+    fix_bias: bool = False,
+    fix_vel: bool = False,
     log_s0: jax.Array = None,
     sigma_p: jax.Array = None,
 ) -> InertialInitResult:
@@ -214,7 +219,11 @@ def inertial_init(
     `sigma_p` is a per-KF position-noise floor in MAP units: the ep-row
     covariance is inflated by 2 (s sigma_p)^2 so the keyframe-pose noise
     (absent from the preintegration covariance) cannot drive the scale to
-    zero. Seed log_s0 from `linear_inertial_init`."""
+    zero. Seed log_s0 from `linear_inertial_init`.
+
+    With fix_bias + fix_vel only gravity direction and scale are free —
+    the ScaleRefinement overload (src/Optimizer.cc:3379: all pose/
+    velocity/bias vertices fixed, only VertexGDir + VertexScale)."""
     K = Rwb.shape[0]
     if bg0 is None:
         bg0 = jnp.zeros(3, jnp.float32)
@@ -231,9 +240,9 @@ def inertial_init(
         thg = jnp.where(fix_gravity, jnp.zeros(2), x[0:2])
         Rwg = lie.so3_exp(jnp.concatenate([thg, jnp.zeros(1)]))
         s = jnp.where(fix_scale, 1.0, jnp.exp(x[2]))
-        bg = x[3:6]
-        ba = x[6:9]
-        v = x[9:].reshape(K, 3)
+        bg = bg0 if fix_bias else x[3:6]
+        ba = ba0 if fix_bias else x[6:9]
+        v = vel0 if fix_vel else x[9:].reshape(K, 3)
         return Rwg, s, bg, ba, v
 
     def res_fn(x):

@@ -50,13 +50,122 @@ class LoopConfig:
     min_ransac_inliers: int = 12  # nBoWInliers=15 relaxed: RANSAC is pre-refine
     min_sim3_inliers: int = 20  # nSim3Inliers (:645)
     min_proj_weak: int = 50  # nProjMatches (:646)
-    min_proj_strong: int = 80  # nProjOptMatches single-shot accept
+    min_proj_strong: int = 80  # nProjOptMatches refined-accept bar
     covis_edge_weight: int = 100  # minFeat essential-graph covis edges (:1522)
     kf_gap_after_loop: int = 10
+    # Temporal consistency: the same region must validate on this many
+    # consecutive keyframes before correction (src/LoopClosing.cc:407).
+    consecutive_kfs: int = 3
     fix_scale: bool = False  # stereo/RGB-D/inertial
 
 
 MAX_MAPS = 16  # gid namespace width shared with the Tracker
+
+
+def optimize_essential_graph_merge(
+    m: MapState,
+    free_ids,
+    R_snap: np.ndarray,
+    t_snap: np.ndarray,
+    mode: str,
+    covis_edge_weight: int = 100,
+    iters: int = 12,
+):
+    """Merge-variant essential graph (Optimizer::OptimizeEssentialGraph
+    merge overload, src/Optimizer.cc:1790-2109): after a map weld, the
+    welding BA has corrected only the window around the seam; this pose
+    graph propagates that correction to the REST of the merged-in map.
+
+    Vertices: all valid keyframes, seeded at current poses. Fixed:
+    everything except `free_ids` (the non-window source-map KFs). Edge
+    measurements come from the pre-welding-BA snapshot (R_snap/t_snap) —
+    the merged-in map's internally consistent geometry. Landmarks
+    anchored to a free keyframe ride its correction."""
+    free_ids = [int(x) for x in free_ids]
+    free_set = set(free_ids)
+    valid = np.nonzero(m.kf_valid)[0]
+    if len(valid) < 3 or not free_set:
+        return
+    order = valid[np.argsort(m.kf_frame_id[valid])]
+    K = len(order)
+    slot = {int(kf): i for i, kf in enumerate(order)}
+
+    s0 = np.ones(K, np.float32)
+    R0 = m.kf_R[order].copy()
+    t0 = m.kf_t[order].copy()
+
+    ei, ej, es, eR, et, ew = [], [], [], [], [], []
+
+    def add_edge_snap(a, b, wgt=1.0):
+        if a not in free_set and b not in free_set:
+            return  # both endpoints fixed: no information
+        inv = lie.sim3_inv(
+            jnp.float32(1.0), jnp.asarray(R_snap[a]), jnp.asarray(t_snap[a])
+        )
+        sm, Rm, tm = [np.asarray(x) for x in lie.sim3_mul(
+            jnp.float32(1.0), jnp.asarray(R_snap[b]), jnp.asarray(t_snap[b]), *inv
+        )]
+        ei.append(slot[a]); ej.append(slot[b])
+        es.append(float(sm)); eR.append(Rm); et.append(tm); ew.append(wgt)
+
+    # Temporal chain over the merged map + covisibility edges.
+    for a, b in zip(order[:-1], order[1:]):
+        add_edge_snap(int(a), int(b))
+    Wm = m.obs.astype(np.int32) @ m.obs.astype(np.int32).T
+    for ii in range(K):
+        for jj in range(ii + 2, K):
+            a, b = int(order[ii]), int(order[jj])
+            if Wm[a, b] >= covis_edge_weight:
+                add_edge_snap(a, b)
+    if not ei:
+        return
+
+    fixed = np.ones(K, bool)
+    for f in free_ids:
+        if f in slot:
+            fixed[slot[f]] = False
+    res = pose_graph.optimize_pose_graph(
+        jnp.asarray(s0), jnp.asarray(R0), jnp.asarray(t0),
+        jnp.ones(K, bool), jnp.asarray(fixed),
+        jnp.asarray(np.asarray(ei, np.int32)), jnp.asarray(np.asarray(ej, np.int32)),
+        jnp.asarray(np.asarray(es, np.float32)), jnp.asarray(np.stack(eR)),
+        jnp.asarray(np.stack(et)), jnp.asarray(np.asarray(ew, np.float32)),
+        jnp.asarray(pose_graph.FREE_DIMS[mode]),
+        iters=iters,
+    )
+    s_n = np.asarray(res.s)
+    R_n = np.asarray(res.R)
+    t_n = np.asarray(res.t)
+
+    # Re-anchor landmarks owned by free keyframes: X' = S_new^-1(S_snap(X)).
+    lm_ids = np.nonzero(m.lm_valid)[0]
+    if len(lm_ids):
+        obs_sub = m.obs[order][:, lm_ids]
+        seen = obs_sub.any(axis=0)
+        first_slot = np.argmax(obs_sub, axis=0)
+        for sl in np.unique(first_slot[seen]):
+            i = int(order[sl])
+            if i not in free_set:
+                continue
+            selm = lm_ids[(first_slot == sl) & seen]
+            if len(selm) == 0:
+                continue
+            pc = m.lm_pos[selm] @ R_snap[i].T + t_snap[i]
+            sinv, Rinv, tinv = [np.asarray(x) for x in lie.sim3_inv(
+                jnp.float32(s_n[sl]), jnp.asarray(R_n[sl]), jnp.asarray(t_n[sl])
+            )]
+            m.lm_pos[selm] = (pc @ Rinv.T) * sinv + tinv
+
+    # Write back optimized poses (SE3 via t/s) for the free set only.
+    for f in free_ids:
+        if f in slot:
+            sl = slot[f]
+            m.kf_R[f] = R_n[sl]
+            m.kf_t[f] = t_n[sl] / s_n[sl]
+    log.info(
+        "merge essential graph: %d free / %d KFs, %d edges, cost %.3f",
+        len(free_ids), K, len(ei), float(res.cost),
+    )
 
 
 class LoopCloser:
@@ -79,6 +188,12 @@ class LoopCloser:
         # Tracker (the reference spawns RunGlobalBundleAdjustment,
         # src/LoopClosing.cc:1346,2306). Called as hook(kf, candidate).
         self.global_ba_hook = None
+        # Map mutation lock, shared with the Tracker when the mapping
+        # pipeline runs this closer on a background thread (the
+        # Map::mMutexMapUpdate analog held through CorrectLoop).
+        import contextlib
+
+        self.lock = contextlib.nullcontext()
         # Persisted loop edges: (map_id, i, j, (s, R, t)).
         self.loop_edges: list[tuple[int, int, int, tuple]] = []
         self._rng = np.random.default_rng(7)
@@ -113,6 +228,20 @@ class LoopCloser:
     def _sigma2(self, level: np.ndarray) -> np.ndarray:
         return LEVEL_SIGMA2[np.clip(level, 0, N_LEVELS - 1)]
 
+    @staticmethod
+    def _predict_level_radius(max_dist, dist, r_base):
+        """MapPoint::PredictScale (src/MapPoint.cc:557) + the matcher's
+        scale-dependent search radius (radius = th * scaleFactor^level,
+        src/ORBmatcher.cc:1149-1329)."""
+        from ..models.map_state import SCALE_FACTOR
+
+        ratio = np.maximum(max_dist / np.maximum(dist, 1e-9), 1e-9)
+        level = np.clip(
+            np.ceil(np.log(ratio) / np.log(SCALE_FACTOR)), 0, N_LEVELS - 1
+        ).astype(np.int32)
+        radius = (r_base * SCALE_FACTOR ** level).astype(np.float32)
+        return level, radius
+
     def process_keyframe(self, k: int):
         """Detect + (maybe) correct a loop at the new keyframe k, or
         propose an Atlas map merge. Returns None, or a merge proposal
@@ -123,9 +252,14 @@ class LoopCloser:
         m = self.m
         bits = self._kf_bits(k)
         proposal = None
+        # Inertial guard: no loop/merge attempts until the IMU ladder has
+        # completed VIBA2 — scale/gravity are still moving before that
+        # (src/LoopClosing.cc:345).
+        imu_ready = m._imu_calib is None or m.imu_stage >= 3
         try:
             if (
-                m.n_keyframes() >= self.cfg.min_kfs
+                imu_ready
+                and m.n_keyframes() >= self.cfg.min_kfs
                 and k - self.last_loop_kf > self.cfg.kf_gap_after_loop
             ):
                 proposal = self._detect_and_correct(k, bits)
@@ -141,11 +275,76 @@ class LoopCloser:
         """Returns a merge proposal (dst_map_idx, c, (s,R,t)) or None.
         Same-map detections are corrected in place (loop closing);
         other-map detections become merge proposals
-        (the loop-vs-merge split of NewDetectCommonRegions :497)."""
+        (the loop-vs-merge split of NewDetectCommonRegions :497).
+
+        A hypothesis must validate on `consecutive_kfs` consecutive
+        keyframes before it is acted on (src/LoopClosing.cc:407); each
+        new KF first re-validates the pending hypothesis (the
+        DetectAndReffineSim3FromLastKF analog, :567) and only falls back
+        to a fresh database query when there is none."""
         m = self.m
         max_k = m.cfg.max_keyframes
-        # Exclusion set: covisible group of k (any shared landmark) +
-        # temporally recent keyframes (gid space: active map only).
+        maps_by_ns = {mm.map_id % MAX_MAPS: (i, mm) for i, mm in enumerate(self.atlas.maps)}
+
+        def act(g, c_idx, m_c, c, s, R, t, n_proj, count):
+            """Confirmed-enough? correct / propose, else keep pending."""
+            if count >= self.cfg.consecutive_kfs:
+                self.pending = None
+                if m_c is m:
+                    self._correct_loop(k, c, s, R, t)
+                    return None, True
+                self.n_merges += 1
+                log.info(
+                    "map-merge detected: KF %d (map %d) -> KF %d (map %d), %d proj",
+                    k, m.map_id, c, m_c.map_id, n_proj,
+                )
+                return (c_idx, c, (s, R, t)), True
+            self.pending = (int(g), count, (float(s), np.asarray(R), np.asarray(t)), k)
+            return None, True
+
+        # 1) Re-validate the pending hypothesis on this keyframe by
+        # propagating the validated Sim3 through the tracked camera
+        # motion and re-counting guided projection matches
+        # (DetectAndReffineSim3FromLastKF, src/LoopClosing.cc:567-631).
+        if self.pending is not None:
+            g, count, (sp, Rp, tp), last_k = self.pending
+            ns, c = int(g) // max_k, int(g) % max_k
+            if ns in maps_by_ns and m.kf_valid[last_k]:
+                c_idx, m_c = maps_by_ns[ns]
+                if m_c.kf_valid[c]:
+                    # S_k'c = T_k'k o S_kc with T_k'k from current poses.
+                    Tk = lie.sim3_mul(
+                        jnp.float32(1.0), jnp.asarray(m.kf_R[k]),
+                        jnp.asarray(m.kf_t[k]),
+                        *lie.sim3_inv(
+                            jnp.float32(1.0), jnp.asarray(m.kf_R[last_k]),
+                            jnp.asarray(m.kf_t[last_k]),
+                        ),
+                    )
+                    s2, R2, t2 = [np.asarray(x) for x in lie.sim3_mul(
+                        *Tk, jnp.float32(sp), jnp.asarray(Rp), jnp.asarray(tp)
+                    )]
+                    s2 = float(s2)
+                    n_proj = self._projection_matches(k, c, s2, R2, t2, m_c)
+                    if n_proj >= self.cfg.min_proj_weak:
+                        count += 1
+                        if count >= self.cfg.consecutive_kfs:
+                            # Refine the hypothesis once more at full
+                            # strength before acting; keep the propagated
+                            # Sim3 if the refine is (harshly) rejected.
+                            res = self._validate_candidate(k, c, m_c)
+                            if res is not None:
+                                s2, R2, t2, n_proj = res
+                        out, handled = act(
+                            g, c_idx, m_c, c, s2, R2, t2, n_proj, count
+                        )
+                        if handled:
+                            return out
+            self.pending = None
+            return None
+
+        # 2) Fresh detection from the keyframe database. Exclusion set:
+        # covisible group of k + temporally recent keyframes.
         w = m.covisibility_weights(k)
         exclude = [self._gid(int(x)) for x in np.nonzero(w > 0)[0]] + [self._gid(k)]
         recent = np.nonzero(
@@ -156,7 +355,6 @@ class LoopCloser:
         if hist is None:
             return None
         gids, scores = self.kfdb.query(hist, np.asarray(exclude), n_best=3)
-        maps_by_ns = {mm.map_id % MAX_MAPS: (i, mm) for i, mm in enumerate(self.atlas.maps)}
         for g, sc in zip(gids, scores):
             ns, c = int(g) // max_k, int(g) % max_k
             if ns not in maps_by_ns:
@@ -168,31 +366,10 @@ class LoopCloser:
             if res is None:
                 continue
             s, R, t, n_proj = res
-            if m_c is m:
-                strong = n_proj >= self.cfg.min_proj_strong
-                confirmed = self.pending is not None and self.pending[1] == int(g)
-                if strong or (confirmed and n_proj >= self.cfg.min_proj_weak):
-                    self._correct_loop(k, c, s, R, t)
-                    self.pending = None
-                    return None
-                if n_proj >= self.cfg.min_proj_weak:
-                    self.pending = (k, int(g))
-                    return None
-            else:
-                # Cross-map: propose an Atlas merge.
-                strong = n_proj >= self.cfg.min_proj_strong
-                confirmed = self.pending is not None and self.pending[1] == int(g)
-                if strong or (confirmed and n_proj >= self.cfg.min_proj_weak):
-                    self.pending = None
-                    self.n_merges += 1
-                    log.info(
-                        "map-merge detected: KF %d (map %d) -> KF %d (map %d), %d proj",
-                        k, m.map_id, c, m_c.map_id, n_proj,
-                    )
-                    return (c_idx, c, (s, R, t))
-                if n_proj >= self.cfg.min_proj_weak:
-                    self.pending = (k, int(g))
-                    return None
+            if n_proj >= self.cfg.min_proj_weak:
+                out, handled = act(g, c_idx, m_c, c, s, R, t, n_proj, 1)
+                if handled:
+                    return out
         self.pending = None
         return None
 
@@ -301,14 +478,20 @@ class LoopCloser:
             m_c.lm_desc[lms].view(np.uint8), axis=-1, bitorder="little"
         ).astype(np.int8)
         uv = np.stack([u, v], 1).astype(np.float32)
+        # Scale-aware gating: the predicted pyramid level follows from
+        # the viewing distance in CANDIDATE-map units (|pc| / s_kw).
+        lvl, rad = self._predict_level_radius(
+            m_c.lm_max_dist[lms], np.linalg.norm(pc, axis=1) / max(s_kw, 1e-9),
+            r_base=8.0,
+        )
         idx, mok = matching.search_by_projection(
             jnp.asarray(bits), jnp.asarray(okp), jnp.asarray(uv),
-            jnp.asarray(np.zeros(len(lms), np.int32)),
+            jnp.asarray(lvl),
             jnp.asarray(self._kf_bits(k)), jnp.asarray(m.kf_xy[k]),
-            jnp.asarray(np.zeros_like(m.kf_level[k])),
+            jnp.asarray(m.kf_level[k]),
             jnp.asarray(m.kf_feat_valid[k]),
-            jnp.asarray(np.full(len(lms), 8.0, np.float32)),
-            max_dist=matching.TH_HIGH, ratio=0.95, level_band=N_LEVELS,
+            jnp.asarray(rad),
+            max_dist=matching.TH_HIGH, ratio=0.95, level_band=1,
         )
         return int(np.asarray(mok).sum())
 
@@ -319,6 +502,10 @@ class LoopCloser:
     def _correct_loop(self, k: int, c: int, s, R, t):
         """Propagate the corrective Sim3, fuse, optimize essential graph
         (CorrectLoop, src/LoopClosing.cc:1062-1355)."""
+        with self.lock:
+            self._correct_loop_locked(k, c, s, R, t)
+
+    def _correct_loop_locked(self, k: int, c: int, s, R, t):
         m = self.m
         log.info("closing loop: KF %d -> KF %d (scale %.4f)", k, c, s)
 
@@ -403,6 +590,11 @@ class LoopCloser:
             (m.map_id, c, k,
              (float(np.asarray(sji)), np.asarray(Rji), np.asarray(tji)))
         )
+        # Whole-map bundle adjustment: the essential graph repairs poses
+        # but leaves landmark/structure error; the reference follows with
+        # a full BA (RunGlobalBundleAdjustment, src/LoopClosing.cc:1346).
+        if self.global_ba_hook is not None:
+            self.global_ba_hook(k, c)
 
     def _search_and_fuse(self, window: np.ndarray, c: int):
         m = self.m
@@ -422,14 +614,21 @@ class LoopCloser:
             if okp.sum() < 3:
                 continue
             uv = np.stack([u, v], 1).astype(np.float32)
+            # Fuse with scale-predicted levels and radii (SearchAndFuse
+            # -> ORBmatcher::Fuse, src/ORBmatcher.cc:1149-1329: radius
+            # 3.0 * scaleFactor^predictedLevel, level within [l-1, l+1]).
+            lvl, rad = self._predict_level_radius(
+                m.lm_max_dist[loop_lms], np.linalg.norm(pc, axis=1),
+                r_base=3.0,
+            )
             idx, mok = matching.search_by_projection(
                 jnp.asarray(bits), jnp.asarray(okp), jnp.asarray(uv),
-                jnp.asarray(np.zeros(len(loop_lms), np.int32)),
+                jnp.asarray(lvl),
                 jnp.asarray(self._kf_bits(i)), jnp.asarray(m.kf_xy[i]),
-                jnp.asarray(np.zeros_like(m.kf_level[i])),
+                jnp.asarray(m.kf_level[i]),
                 jnp.asarray(m.kf_feat_valid[i]),
-                jnp.asarray(np.full(len(loop_lms), 4.0, np.float32)),
-                max_dist=matching.TH_LOW, ratio=0.9, level_band=N_LEVELS,
+                jnp.asarray(rad),
+                max_dist=matching.TH_LOW, ratio=0.9, level_band=1,
             )
             idx = np.asarray(idx)
             mok = np.asarray(mok)
@@ -521,7 +720,13 @@ class LoopCloser:
 
         fixed = np.zeros(K, bool)
         fixed[slot[c]] = True
-        mode = "se3" if self.cfg.fix_scale else "sim3"
+        # Inertial maps: gravity-aligned world makes roll/pitch/scale
+        # observable, so the pose graph optimizes yaw+translation only
+        # (OptimizeEssentialGraph4DoF selection, src/LoopClosing.cc:1335).
+        if m.imu_stage >= 1:
+            mode = "4dof"
+        else:
+            mode = "se3" if self.cfg.fix_scale else "sim3"
         res = pose_graph.optimize_pose_graph(
             jnp.asarray(s0), jnp.asarray(R0), jnp.asarray(t0),
             jnp.ones(K, bool), jnp.asarray(fixed),

@@ -1,0 +1,101 @@
+"""Background mapping/loop-closing stage — the pipeline analog of the
+reference's LocalMapping + LoopClosing threads (src/System.cc:217,244).
+
+The reference's concurrency model is a 4-thread pipeline with
+producer-consumer keyframe queues, back-pressure (Tracking inserts KFs
+only when LocalMapping is idle or its queue is short,
+src/Tracking.cc:3046-3063) and cooperative BA interruption
+(LocalMapping::InterruptBA, src/LocalMapping.cc:136). Here the same
+shape is one host thread consuming a bounded keyframe queue and running
+the tracker's mapping step (triangulate -> fuse -> cull -> local BA ->
+IMU ladder -> place recognition); tracking keeps the critical path and
+reads a bounded-stale map under a shared RLock whose critical sections
+are the short numpy gathers/write-backs (device compute runs outside
+the lock, overlapped by JAX async dispatch).
+
+Concurrency contract (mirrors the reference's lock inventory, SURVEY
+§2.9):
+- only this worker mutates map structure (landmark/keyframe creation
+  past insertion, culling, BA write-backs, loop corrections);
+- the track thread mutates only per-frame bindings and the
+  visible/found counters, and inserts keyframe rows under the lock;
+- cross-thread effects on live tracking state (pose rebase after a
+  loop/global correction, Atlas merges) are handed back to the track
+  thread: corrections bump Map.big_change_idx which the tracker
+  consumes at the next frame (the Tracking.cc:1857 map-change rebase),
+  and merge proposals are parked in `pending_merge` for the track
+  thread to execute.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+
+log = logging.getLogger("orbslam3_tpu.mapping")
+
+
+class MappingWorker:
+    """Consumes keyframe slots; runs Tracker._mapping_step on each."""
+
+    def __init__(self, tracker, max_queue: int = 3):
+        self.tracker = tracker
+        self.max_queue = max_queue
+        self.q: queue.Queue = queue.Queue()
+        self.idle = threading.Event()
+        self.idle.set()
+        self.error: BaseException | None = None
+        self.n_processed = 0
+        self._thread = threading.Thread(
+            target=self._run, name="mapping", daemon=True
+        )
+        self._thread.start()
+
+    # -- producer side (track thread) ----------------------------------
+
+    def accepting(self) -> bool:
+        """Back-pressure policy: accept a new keyframe when idle or the
+        queue is short (src/Tracking.cc:3046-3063)."""
+        return self.q.qsize() < self.max_queue
+
+    def busy(self) -> bool:
+        return not (self.idle.is_set() and self.q.empty())
+
+    def submit(self, k: int, payload: dict):
+        self.idle.clear()
+        self.q.put((k, payload))
+
+    def flush(self):
+        """Block until every queued keyframe is fully processed (used by
+        trajectory export, checkpointing, shutdown)."""
+        self.q.join()
+        self.idle.wait()
+        if self.error is not None:
+            err, self.error = self.error, None
+            raise err
+
+    def stop(self):
+        self.flush()
+        self.q.put(None)
+        self._thread.join(timeout=30)
+
+    # -- consumer side --------------------------------------------------
+
+    def _run(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                self.q.task_done()
+                return
+            k, payload = item
+            try:
+                self.tracker._mapping_step(k, **payload)
+                self.n_processed += 1
+            except BaseException as e:  # surface at the next flush
+                log.exception("mapping step failed for KF %d", k)
+                self.error = e
+            finally:
+                self.q.task_done()
+                if self.q.empty():
+                    self.idle.set()

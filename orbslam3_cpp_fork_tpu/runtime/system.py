@@ -40,6 +40,7 @@ class System:
         sensor: Sensor,
         use_viewer: bool = False,
         load_atlas: str | None = None,
+        async_mapping: bool = True,
     ):
         if isinstance(settings, str):
             settings = load_settings(settings)
@@ -202,6 +203,7 @@ class System:
             ),
             imu=imu_cfg,
             kf_max_interval=int(round(s.fps)) if s.fps else 30,
+            async_mapping=async_mapping,
             **fisheye_kw,
         )
         self.tracker = Tracker(cfg)
@@ -321,6 +323,7 @@ class System:
     def activate_localization_mode(self):
         """Camera-only tracking; mapping is paused
         (System::ActivateLocalizationMode, src/System.cc:540)."""
+        self.tracker.flush_mapping()
         self.tracker.localization_only = True
 
     def deactivate_localization_mode(self):
@@ -337,6 +340,8 @@ class System:
     def reset(self):
         """System::Reset: drop everything and start over."""
         cfg = self.tracker.cfg
+        if self.tracker.worker is not None:
+            self.tracker.worker.stop()
         self.tracker = Tracker(cfg)
 
     def reset_active_map(self):
@@ -448,6 +453,7 @@ class System:
     # ------------------------------------------------------------------
 
     def save_atlas(self, path: str):
+        self.tracker.flush_mapping()
         kfdb = self.tracker.kfdb
         extra = {
             "sensor": self.sensor.name,
@@ -506,8 +512,12 @@ class System:
         )
 
     def shutdown(self, save_atlas_path: str | None = None):
-        """System::Shutdown: flush, optionally checkpoint, print timing
-        stats (Tracking::PrintTimeStats analog)."""
+        """System::Shutdown: stop the mapping pipeline, optionally
+        checkpoint, print timing stats (Tracking::PrintTimeStats analog;
+        the thread-finish handshake of src/System.cc:576-621)."""
+        if self.tracker.worker is not None:
+            self.tracker.worker.stop()
+            self.tracker.worker = None
         if self.viewer is not None:
             m = self.tracker.map
             # Camera centers: c = -R^T t per keyframe.

@@ -10,9 +10,12 @@ pose_optimization -> track-local-map match -> pose_optimization]
 cull -> local BA)
 
 Differences from the reference, by design (SURVEY.md §7):
-- Single host thread; mapping runs synchronously after KF insertion.
-  JAX async dispatch overlaps device work; the thread pipeline returns
-  in a later milestone as asynchronously dispatched device programs.
+- The reference's 4-thread pipeline maps to tracking on the caller
+  thread + one background mapping/loop-closing stage
+  (runtime/mapping_worker.py) consuming a bounded keyframe queue with
+  the reference's back-pressure and BA-interruption policies; tracking
+  reads a bounded-stale map. `async_mapping=False` degenerates to a
+  synchronous single thread for bit-deterministic regression runs.
 - The quadtree/grid candidate loops of ORBmatcher become dense masked
   matrices (ops/matching.py).
 - Trajectory bookkeeping stores (ref_kf, T_frame<-refkf) exactly like
@@ -27,6 +30,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import logging
+import threading
 from functools import partial
 
 import jax
@@ -91,6 +95,12 @@ class TrackerConfig:
     imu_init_time: float = 1.0
     viba1_time: float = 5.0
     viba2_time: float = 15.0
+    # Mono-inertial ScaleRefinement windows + bad-IMU thresholds
+    # (src/LocalMapping.cc:265-276 and :170-179).
+    scale_refine_times: tuple = (25.0, 35.0, 45.0, 55.0, 65.0, 75.0)
+    scale_refine_window: float = 0.5
+    bad_imu_time: float = 10.0
+    bad_imu_dist: float = 0.02
     imu_kf_period: float = 0.25  # KF cadence until IMU init (:3012)
     # VI BA capacities.
     vi_kf_cap: int = 16
@@ -116,11 +126,22 @@ class TrackerConfig:
     lapping_r: tuple = (0.0, 1e9)
     stereo_init_min_features: int = 500  # StereoInitialization (:2246)
     enable_loop_closing: bool = True
+    # Pipeline: run mapping + loop closing on a background stage (the
+    # reference's LocalMapping/LoopClosing threads) so per-frame track
+    # latency stays flat across keyframe insertions. Tracking reads a
+    # bounded-stale map; corrections rebase the live frame at the next
+    # frame boundary. Visual sensors only for now — inertial runs the
+    # mapping step synchronously (the IMU ladder rewrites live tracking
+    # state). Set False for bit-deterministic runs (regression tests).
+    async_mapping: bool = True
     # Matching / tracking thresholds (reference values).
     init_min_matches: int = 100  # MonocularInitialization (src/Tracking.cc:2341)
     min_track_matches: int = 20
     min_track_inliers: int = 10
     min_localmap_inliers: int = 30
+    # Relocalization acceptance (Tracking::Relocalization accepts only at
+    # 50 inliers after the projection-search escalation, :3596).
+    reloc_min_inliers: int = 50
     kf_max_interval: int = 30  # frames (reference mMaxFrames = fps)
     # Seconds of RECENTLY_LOST grace (IMU dead-reckoning / reloc window)
     # before declaring LOST (reference time_recently_lost, Tracking.cc:71).
@@ -133,6 +154,13 @@ class TrackerConfig:
     ba_fixed_cap: int = 8
     ba_lm_cap: int = 4096
     ba_obs_cap: int = 24576
+    # Whole-map (global) BA after loop closure — sparse PCG-Schur solver
+    # (GlobalBundleAdjustemnt / FullInertialBA semantics). Observations
+    # are bucketed to multiples of gba_obs_bucket to bound recompiles.
+    enable_global_ba: bool = True
+    gba_obs_cap: int = 98304
+    gba_obs_bucket: int = 16384
+    gba_iters: int = 10
     map_cfg: MapConfig = dataclasses.field(default_factory=MapConfig)
 
 
@@ -392,6 +420,7 @@ class Tracker:
         self.prior_H = None  # 15x15 marginal prior for last-frame VI opt
         self.last_kf_slot = -1  # temporal-chain tail in the active map
         self._kf_inserted_last_frame = False
+        self._scale_refine_idx = 0  # next ScaleRefinement window
 
         # Localization-only mode: track against the existing map, never
         # insert KFs (System::ActivateLocalizationMode, src/System.cc:540).
@@ -436,6 +465,19 @@ class Tracker:
             if cfg.enable_loop_closing
             else None
         )
+        # Pipeline state (see runtime/mapping_worker.py for the model).
+        self.map_lock = threading.RLock()
+        if self.loop_closer is not None:
+            self.loop_closer.global_ba_hook = self._global_ba_after_loop
+            self.loop_closer.lock = self.map_lock
+        self._seen_change_idx = 0
+        self._pending_merge: tuple | None = None
+        self.worker = None
+        if cfg.async_mapping and not self.inertial:
+            from .mapping_worker import MappingWorker
+
+            self.worker = MappingWorker(self)
+        self.n_kf_skipped_backpressure = 0
 
     @property
     def map(self) -> MapState:
@@ -556,6 +598,7 @@ class Tracker:
         self.cur_bg = np.zeros(3, np.float32)
         self.cur_ba = np.zeros(3, np.float32)
         self._kf_inserted_last_frame = False
+        self._scale_refine_idx = 0
 
     # ------------------------------------------------------------------
     # Public API
@@ -665,6 +708,25 @@ class Tracker:
         return self._process(frame)
 
     def _process(self, frame: FrameData) -> np.ndarray | None:
+        # Pipeline hand-backs: a merge proposal parked by the mapping
+        # stage executes here on the track thread (it rewrites live
+        # tracking state), and background corrections (loop closure,
+        # global BA) rebase the last frame's pose through its
+        # reference-keyframe relative pose (Tracking.cc:1857 map-change
+        # handling).
+        if self._pending_merge is not None:
+            mk, proposal = self._pending_merge
+            self._pending_merge = None
+            if self.worker is not None:
+                self.worker.flush()
+            if (
+                self.map.kf_valid[mk]
+                and self.last is not None
+                and self.last.R is not None
+            ):
+                with self.map_lock:
+                    self._execute_merge(mk, self.last, *proposal)
+        self._rebase_after_map_change()
         self._timestamp_guards(frame.timestamp)
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             if self.cfg.sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR):
@@ -690,6 +752,33 @@ class Tracker:
             T[:3, 3] = frame.t
             return T
         return None
+
+    def _rebase_after_map_change(self):
+        """If a background correction (loop closure, global BA, IMU
+        re-alignment) moved the map since this thread last looked,
+        re-derive the last frame's pose from its reference keyframe's
+        corrected pose through the stored relative transform — the
+        reference's map-change-index rebase in Tracking::Track
+        (src/Tracking.cc:1857) that keeps the motion model consistent
+        with the corrected map."""
+        m = self.map
+        if m.big_change_idx == self._seen_change_idx:
+            return
+        self._seen_change_idx = m.big_change_idx
+        if self.last is None or self.last.R is None or not self.trajectory:
+            self.velocity = None
+            return
+        fid, ts, map_id, kref, R_cr, t_cr = self.trajectory[-1]
+        while (map_id, kref) in self._kf_alias:
+            map_id, kref = self._kf_alias[(map_id, kref)]
+        if fid == self.last.frame_id and map_id == m.map_id and m.kf_valid[kref]:
+            with self.map_lock:
+                self.last.R = (R_cr @ m.kf_R[kref]).astype(np.float32)
+                self.last.t = (R_cr @ m.kf_t[kref] + t_cr).astype(np.float32)
+        self.velocity = None
+        if self.inertial and self.last_kf_slot >= 0 and m.kf_valid[self.last_kf_slot]:
+            self.cur_bg = m.kf_bg[self.last_kf_slot].copy()
+            self.cur_ba = m.kf_ba[self.last_kf_slot].copy()
 
     def _execute_merge(self, k: int, frame: FrameData, dst_idx: int, c: int, S_kc):
         """Weld the active map into Atlas map `dst_idx` through the
@@ -749,17 +838,70 @@ class Tracker:
         if self.loop_closer is not None:
             self.loop_closer.on_merge(src_map_id, dst.map_id, kf_remap)
 
+        # Snapshot the rigidly-welded geometry: the merge essential graph
+        # measures edges from this internally-consistent state
+        # (the merge variant's NonCorrectedSim3 analog).
+        R_snap = dst.kf_R.copy()
+        t_snap = dst.kf_t.copy()
+
         # Fuse duplicates around the weld + welding BA (fixing the
         # matched-map side as gauge).
         nb, _ = dst.covisible_keyframes(k_new, min_weight=1, top=10)
         window = np.concatenate([[k_new], nb]).astype(np.int64)
         if self.loop_closer is not None:
             self.loop_closer._search_and_fuse(window, c)
-        self._local_ba([int(x) for x in window], fix=[c])
+        if self.inertial and dst.imu_stage >= 1:
+            self._merge_inertial_ba(k_new, c)
+        else:
+            self._local_ba([int(x) for x in window], fix=[c])
+            # Propagate the weld correction to the rest of the merged-in
+            # map (merge-variant essential graph, src/Optimizer.cc:1790).
+            from .loop_closing import optimize_essential_graph_merge
+
+            win = {int(x) for x in window}
+            rest = [v for v in kf_remap.values() if v not in win]
+            if len(rest) >= 3:
+                fix_scale = self.cfg.sensor != Sensor.MONOCULAR
+                mode = "se3" if fix_scale else "sim3"
+                with self.timers.span("merge_eg"):
+                    optimize_essential_graph_merge(
+                        dst, rest, R_snap, t_snap, mode
+                    )
+        # Re-sync the live frame with its welded+optimized keyframe.
+        frame.R = dst.kf_R[k_new].copy()
+        frame.t = dst.kf_t[k_new].copy()
+        self.velocity = None
         log.info(
             "map merge complete: now tracking in map %d (%d KFs, %d lms)",
             dst.map_id, dst.n_keyframes(), dst.n_landmarks(),
         )
+
+    def _merge_inertial_ba(self, k_new: int, c: int):
+        """Optimizer::MergeInertialBA (src/Optimizer.cc:3919-4456): VI BA
+        around the welding zone — the current KF's 6-KF temporal chain
+        plus the merge KF's temporal neighborhood (3 back, forward to
+        ~12 total), gauge fixed on the old map's chain boundary."""
+        m = self.map
+        nd = 6
+        chain_k = m.temporal_window(k_new, nd)[::-1]  # oldest..newest
+        chain_c = m.temporal_window(c, nd // 2)[::-1]
+        fwd = []
+        cur = c
+        while len(chain_c) + len(fwd) + len(chain_k) < 2 * nd:
+            nxt = int(m.kf_next[cur])
+            if nxt < 0 or not m.kf_valid[nxt] or nxt in chain_k:
+                break
+            fwd.append(nxt)
+            cur = nxt
+        opt = chain_c + fwd + chain_k  # opt[0] = old-map side boundary
+        built = self._build_vi_problem(
+            opt, K_cap=2 * self.cfg.vi_kf_cap, obs_cap=self.cfg.ba_obs_cap,
+        )
+        if built is None:
+            return
+        prob, kfs_arr, lms, _ = built
+        with self.timers.span("merge_vi_ba"):
+            self._run_vi_ba(prob, kfs_arr, lms, iters=10, gate_at=5)
 
     def _timestamp_guards(self, ts: float):
         """Tracking::Track timestamp sanity guards (src/Tracking.cc:
@@ -790,11 +932,19 @@ class Tracker:
         self._last_imu_t = None
         self.last = None
 
+    def flush_mapping(self):
+        """Drain the background mapping stage (no-op when synchronous).
+        Call before reading a consistent whole-map state."""
+        if self.worker is not None:
+            self.worker.flush()
+
     def _spawn_or_reset_map(self):
         """Unrecoverable loss: small maps are discarded and rebuilt
         (Tracking::ResetActiveMap, src/Tracking.cc:3672); established maps
         are kept in the Atlas and a fresh one is started
         (CreateMapInAtlas, :2543) — later re-anchored by map merge."""
+        self.flush_mapping()
+        self._pending_merge = None
         self.lost_frames = 0
         m = self.map
         if m.n_keyframes() < 10:
@@ -1302,6 +1452,19 @@ class Tracker:
             else:
                 need = need or (dt_kf >= 0.5 and n_in > 15)
         self._kf_inserted_last_frame = False
+        if need and self.worker is not None and not self.worker.accepting():
+            # Back-pressure: mapping is saturated — skip this insertion
+            # and retry next frame (src/Tracking.cc:3046-3063). Exception:
+            # when tracking is starving (inliers well below the ref ratio
+            # AND a long gap since the last keyframe), insert anyway —
+            # losing the map costs far more than a deeper queue.
+            starving = (
+                frames_since_kf >= self.cfg.kf_max_interval
+                or n_in < 0.5 * self.cfg.kf_ref_ratio * max(ref_tracked, 1)
+            )
+            if not starving:
+                self.n_kf_skipped_backpressure += 1
+                need = False
         if need and not self.localization_only:
             with self.timers.span("new_kf"):
                 self._insert_keyframe(frame)
@@ -1377,7 +1540,34 @@ class Tracker:
             frame.lm_idx[:] = -1
             frame.lm_idx[idx_np[sel[inl_np]]] = ref_lm[sel[inl_np]]
             n_in = self._pose_optimize(frame)
-            if n_in >= 20:
+            if n_in < 10:
+                continue
+            # Escalation ladder (src/Tracking.cc:3524-3596): when the
+            # BoW+PnP seed is under the acceptance bar, add matches by
+            # projecting the candidate's landmarks through the current
+            # pose estimate — a coarse pass (window 10), and if still
+            # marginal a narrow pass (window 3) — re-optimizing after
+            # each round, accepting only at >= reloc_min_inliers.
+            th = self.cfg.reloc_min_inliers
+            if n_in < th:
+                lms_k = ref_lm[ref_lm >= 0]
+                lms_k = np.unique(lms_k[m.lm_valid[lms_k]])
+                lm_hit, feat_hit = self._match_landmarks_into_frame(
+                    frame, lms_k, 10.0
+                )
+                if len(lm_hit) and int((frame.lm_idx >= 0).sum()) + len(
+                    lm_hit
+                ) >= th:
+                    frame.lm_idx[feat_hit] = lm_hit
+                    n_in = self._pose_optimize(frame)
+                    if 30 <= n_in < th:
+                        lm_hit, feat_hit = self._match_landmarks_into_frame(
+                            frame, lms_k, 3.0
+                        )
+                        if len(lm_hit):
+                            frame.lm_idx[feat_hit] = lm_hit
+                            n_in = self._pose_optimize(frame)
+            if n_in >= th:
                 log.info("relocalized at frame %d against KF %d (%d inliers)",
                          frame.frame_id, k, n_in)
                 self.state = TrackState.OK
@@ -1494,29 +1684,68 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def _insert_keyframe(self, frame: FrameData):
+        """Keyframe insertion head (the synchronous part of the
+        reference's CreateNewKeyFrame, src/Tracking.cc:3069): the KF row,
+        inertial chain link and depth seeding happen on the track
+        thread; the mapping step (triangulate/fuse/cull/BA/loop) runs on
+        the pipeline worker when enabled."""
         m = self.map
-        k = m.add_keyframe(
-            frame.R, frame.t, frame.xy, frame.level, frame.angle, frame.desc,
-            frame.valid, frame.lm_idx, frame.timestamp, frame.frame_id,
-            ur=frame.ur, depth=frame.depth,
-        )
-        self.last_kf_frame_id = frame.frame_id
-        self.ref_kf = k
-        self.n_kf_inserted += 1
-        if self.inertial:
-            self._attach_inertial_kf(k, frame)
+        if self.worker is not None:
+            # Never block the track thread on a mapping-held lock (a
+            # loop correction in flight): skip and retry next frame.
+            if not self.map_lock.acquire(blocking=False):
+                self.n_kf_skipped_backpressure += 1
+                return
+            self.map_lock.release()
+        with self.map_lock:
+            try:
+                k = m.add_keyframe(
+                    frame.R, frame.t, frame.xy, frame.level, frame.angle,
+                    frame.desc, frame.valid, frame.lm_idx, frame.timestamp,
+                    frame.frame_id, ur=frame.ur, depth=frame.depth,
+                )
+            except RuntimeError:
+                # Keyframe capacity exhausted: degrade gracefully — cull
+                # around the reference KF and skip this insertion
+                # (capacity-pressure culling already lifts its bound at
+                # 70% occupancy, so this is a last resort).
+                log.warning(
+                    "keyframe capacity exhausted (%d slots); culling and "
+                    "skipping insertion", m.cfg.max_keyframes,
+                )
+                if self.ref_kf >= 0 and m.kf_valid[self.ref_kf]:
+                    self._cull_keyframes(self.ref_kf)
+                return
+            self.last_kf_frame_id = frame.frame_id
+            self.ref_kf = k
+            self.n_kf_inserted += 1
+            if self.inertial:
+                self._attach_inertial_kf(k, frame)
+            # Stereo/RGB-D: seed close points directly from depth
+            # (CreateNewKeyFrame, src/Tracking.cc:3110-3170) — on the
+            # track thread so the live frame sees its new bindings.
+            if self.cfg.sensor not in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR):
+                self._seed_depth_points(frame, k)
+
+        if self.worker is not None:
+            self.worker.submit(k, {"map_ref": m})
+        else:
+            self._mapping_step(k, map_ref=m, frame=frame)
+
+    def _mapping_step(self, k: int, map_ref: MapState, frame: FrameData | None = None):
+        """The LocalMapping + LoopClosing work for one keyframe
+        (src/LocalMapping.cc:92-324 loop body and the LoopClosing
+        handoff). Runs synchronously or on the MappingWorker; `frame` is
+        the live frame in synchronous mode only."""
+        m = map_ref
+        if m is not self.map or not m.kf_valid[k]:
+            return  # map was reset/replaced since submission
 
         # Update stats of observed landmarks.
-        seen = frame.lm_idx[frame.lm_idx >= 0]
+        seen = m.kf_lm_idx[k][m.kf_lm_idx[k] >= 0]
         m.update_landmark_stats(np.unique(seen))
 
         new_ids: list[int] = []
-        # Stereo/RGB-D: seed close points directly from depth
-        # (CreateNewKeyFrame, src/Tracking.cc:3069-3184: create points for
-        # depth < mThDepth, or at least the 100 closest).
-        if self.cfg.sensor not in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR):
-            new_ids.extend(self._seed_depth_points(frame, k))
-
         # New landmarks by epipolar triangulation vs covisible KFs.
         neigh, _ = m.covisible_keyframes(k, min_weight=15, top=self.cfg.local_window_kfs)
         for k2 in neigh:
@@ -1526,38 +1755,64 @@ class Tracker:
 
         # Fuse duplicate landmarks with the covisibility neighborhood
         # (LocalMapping::SearchInNeighbors, src/LocalMapping.cc:743).
-        self._search_in_neighbors(k)
+        with self.map_lock:
+            self._search_in_neighbors(k)
 
-        # Cull weak recent landmarks (MapPointCulling :382-416).
-        self._cull_landmarks()
+            # Cull weak recent landmarks (MapPointCulling :382-416).
+            self._cull_landmarks()
 
         # Local BA: visual-inertial temporal window once the IMU is
-        # initialized, otherwise visual covisibility window.
+        # initialized, otherwise visual covisibility window. The
+        # InterruptBA analog: the reference runs local BA and keyframe
+        # culling ONLY when no further keyframe is queued
+        # (src/LocalMapping.cc:136-241 `if (!CheckNewKeyFrames())`), so a
+        # backed-up pipeline catches up by deferring optimization.
+        interrupted = self.worker is not None and not self.worker.q.empty()
         if self.inertial and m.imu_stage >= 1:
             self._local_inertial_ba(k)
-        else:
+        elif not interrupted:
             window = [k] + [int(x) for x in neigh[: self.cfg.ba_kf_cap - 1]]
             self._local_ba(window)
 
-        # IMU initialization ladder (LocalMapping::Run :232-286).
+        # IMU initialization ladder (LocalMapping::Run :232-286;
+        # synchronous mode only — it rewrites live tracking state).
         if self.inertial:
             self._imu_ladder(frame, k)
 
         # Redundant-keyframe culling (LocalMapping::KeyFrameCulling).
-        self._cull_keyframes(k)
+        if not interrupted:
+            with self.map_lock:
+                self._cull_keyframes(k)
 
         # Place recognition: loop detection/correction, then register the
         # keyframe in the database (LoopClosing::InsertKeyFrame handoff).
         if self.loop_closer is not None:
+            big0 = m.big_change_idx
             merge = self.loop_closer.process_keyframe(k)
             if merge is not None:
-                self._execute_merge(k, frame, *merge)
+                if self.worker is not None:
+                    # Merges rewrite live tracking state: hand back to
+                    # the track thread (executed at the next frame).
+                    self._pending_merge = (k, merge)
+                else:
+                    self._execute_merge(k, frame, *merge)
+            elif m.big_change_idx != big0 and frame is not None:
+                # A loop correction (+ global BA) moved the map under the
+                # live frame: re-anchor it on its own corrected keyframe
+                # and drop the motion model (the reference's map-change
+                # handling at Tracking.cc:1857 / UpdateFrameIMU).
+                frame.R = m.kf_R[k].copy()
+                frame.t = m.kf_t[k].copy()
+                self.velocity = None
+                self._seen_change_idx = m.big_change_idx
+                if self.inertial:
+                    self._sync_after_global(frame, k)
         else:
-            self.kfdb.add(self._gid(k), frame.desc_i8, frame.valid)
+            self.kfdb.add(self._gid(k), self._kf_bits(k), m.kf_feat_valid[k])
 
         log.info(
-            "KF %d inserted (frame %d): %d new lms, map: %d KFs / %d lms",
-            k, frame.frame_id, len(new_ids), m.n_keyframes(), m.n_landmarks(),
+            "KF %d mapped: %d new lms, map: %d KFs / %d lms",
+            k, len(new_ids), m.n_keyframes(), m.n_landmarks(),
         )
 
     # ------------------------------------------------------------------
@@ -1585,7 +1840,8 @@ class Tracker:
 
     def _imu_ladder(self, frame: FrameData, k: int):
         """Staged IMU initialization (LocalMapping::Run :232-286):
-        InitializeIMU -> VIBA1 -> VIBA2."""
+        InitializeIMU -> VIBA1 -> VIBA2 -> ScaleRefinement schedule,
+        plus bad-IMU detection (:170-179)."""
         m = self.map
         cfg = self.cfg
         if m.imu_t0 < 0:
@@ -1600,7 +1856,29 @@ class Tracker:
                     prior_g=1e2, prior_a=1e10 if mono else 1e5,
                     fix_scale=not mono,
                 )
-        elif m.imu_stage == 1 and elapsed >= cfg.viba1_time:
+            return
+        # Bad-IMU detection: initialized but (almost) no camera motion over
+        # the last two KF intervals early on means the IMU solution is
+        # unconstrained/diverging -> reset the active map
+        # (src/LocalMapping.cc:170-179, consumed at src/Tracking.cc:1782).
+        if m.imu_stage < 3:
+            p = int(m.kf_prev[k])
+            pp = int(m.kf_prev[p]) if p >= 0 else -1
+            if p >= 0 and pp >= 0:
+                def cam_c(i):
+                    return -m.kf_R[i].T @ m.kf_t[i]
+
+                dist = np.linalg.norm(cam_c(k) - cam_c(p)) + np.linalg.norm(
+                    cam_c(p) - cam_c(pp)
+                )
+                if elapsed < cfg.bad_imu_time and dist < cfg.bad_imu_dist:
+                    log.warning(
+                        "bad IMU: %.3f m motion over last 2 KFs at t=%.1fs; "
+                        "resetting active map", dist, elapsed,
+                    )
+                    self._spawn_or_reset_map()
+                    return
+        if m.imu_stage == 1 and elapsed >= cfg.viba1_time:
             log.info("VIBA1 at t=%.1fs", elapsed)
             self._full_inertial_ba(k, prior_g=1.0, prior_a=1e5)
             m.imu_stage = 2
@@ -1610,6 +1888,67 @@ class Tracker:
             self._full_inertial_ba(k, prior_g=0.0, prior_a=0.0)
             m.imu_stage = 3
             self._sync_after_global(frame, k)
+        elif (
+            m.imu_stage >= 3
+            and cfg.sensor == Sensor.IMU_MONOCULAR
+            and m.n_keyframes() <= 200
+            and self._scale_refine_idx < len(cfg.scale_refine_times)
+        ):
+            # ScaleRefinement windows (src/LocalMapping.cc:265-276:
+            # mTinit in (25,25.5) ... (75,75.5) for monocular).
+            t_due = cfg.scale_refine_times[self._scale_refine_idx]
+            if elapsed >= t_due:
+                self._scale_refine_idx += 1
+                if elapsed < t_due + cfg.scale_refine_window:
+                    self._scale_refinement(frame, k)
+
+    def _scale_refinement(self, frame: FrameData, k: int):
+        """LocalMapping::ScaleRefinement (src/LocalMapping.cc:1465):
+        re-estimate ONLY gravity direction + scale over the whole chain
+        with poses/velocities/biases fixed, and re-align the map when the
+        scale moved by more than 0.2%."""
+        from ..optim import inertial as vi
+
+        m = self.map
+        chain = m.temporal_window(k, 10**6)[::-1]
+        ks = np.asarray(chain, np.int64)
+        ei, ej, pre_ks = [], [], []
+        for idx in range(1, len(ks)):
+            a, b = int(ks[idx - 1]), int(ks[idx])
+            if m.kf_pre_valid[b] and int(m.kf_prev[b]) == a:
+                ei.append(idx - 1)
+                ej.append(idx)
+                pre_ks.append(b)
+        if len(ei) < 5:
+            return
+        pre = jax.tree.map(jnp.asarray, m.stacked_preint(np.asarray(pre_ks)))
+        Rwb, twb = self._body_from_cam_np(m.kf_R[ks], m.kf_t[ks])
+        steps = np.linalg.norm(np.diff(twb, axis=0), axis=1)
+        sigma_p = 0.05 * float(np.median(steps)) if len(steps) else 0.0
+        res = vi.inertial_init(
+            jnp.asarray(Rwb), jnp.asarray(twb), jnp.asarray(m.kf_vel[ks]),
+            jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+            jnp.ones(len(ei), bool), pre,
+            jnp.float32(0.0), jnp.float32(0.0),
+            bg0=jnp.asarray(m.kf_bg[k]), ba0=jnp.asarray(m.kf_ba[k]),
+            iters=30, fix_bias=True, fix_vel=True,
+            sigma_p=jnp.float32(sigma_p),
+        )
+        s = float(res.scale)
+        if not np.isfinite(s) or s < 0.1:
+            log.warning("scale refinement rejected: s=%.4f", s)
+            return
+        if abs(s - 1.0) > 0.002:
+            Ryw = np.asarray(res.Rwg).T.astype(np.float32)
+            m.apply_gravity_scale(Ryw, s, scale_vel=True)
+            bias = np.concatenate([m.kf_bg[k], m.kf_ba[k]]).astype(np.float32)
+            for b in ks:
+                if m.kf_pre_valid[b]:
+                    m._reintegrate(int(b), bias=bias)
+            log.info("scale refinement: s=%.4f applied (%d KFs)", s, len(ks))
+            self._sync_after_global(frame, k)
+        else:
+            log.info("scale refinement: s=%.4f (no change needed)", s)
 
     def _initialize_imu(
         self, frame: FrameData, k: int, prior_g: float, prior_a: float,
@@ -1749,6 +2088,8 @@ class Tracker:
     def _build_vi_problem(
         self, opt_kfs: list[int], K_cap: int, obs_cap: int,
         prior_g: float = 0.0, prior_a: float = 0.0,
+        lm_cap: int | None = None,
+        fix: list[int] | None = None,
     ):
         """Assemble a fixed-capacity VIBAProblem: optimizable temporal
         window + fixed boundary/observer KFs, reprojection observations,
@@ -1757,13 +2098,14 @@ class Tracker:
 
         m = self.map
         cfg = self.cfg
+        lm_cap = cfg.ba_lm_cap if lm_cap is None else lm_cap
         opt_kfs = list(dict.fromkeys(opt_kfs))
         # Fixed: temporal boundary + covisible observers of window lms.
         fixed: list[int] = []
         b = int(m.kf_prev[opt_kfs[0]])
-        if b >= 0 and m.kf_valid[b]:
+        if b >= 0 and m.kf_valid[b] and b not in opt_kfs:
             fixed.append(b)
-        lms = m.local_map_landmarks(np.asarray(opt_kfs, np.int64))[: cfg.ba_lm_cap]
+        lms = m.local_map_landmarks(np.asarray(opt_kfs, np.int64))[:lm_cap]
         if len(lms) < 8:
             return None
         other = m.obs[:, lms].any(axis=1) & m.kf_valid
@@ -1778,6 +2120,10 @@ class Tracker:
 
         kf_fixed = np.zeros(len(kfs), bool)
         kf_fixed[n_opt:] = True
+        if fix:
+            for f in fix:
+                w = np.nonzero(np.asarray(kfs) == f)[0]
+                kf_fixed[w] = True
         if not kf_fixed.any():
             kf_fixed[0] = True
 
@@ -1806,7 +2152,7 @@ class Tracker:
             o_kf, o_lm, o_uv, o_sig = o_kf[keep], o_lm[keep], o_uv[keep], o_sig[keep]
             o_ur, o_st = o_ur[keep], o_st[keep]
         pad_o = obs_cap - len(o_kf)
-        L_n = cfg.ba_lm_cap
+        L_n = lm_cap
         pad_l = L_n - len(lms)
 
         # Inertial edges among problem KFs (prev->k chain).
@@ -1885,10 +2231,16 @@ class Tracker:
         )
         return prob, kfs_arr, np.asarray(lms), kf_fixed
 
-    def _run_vi_ba(self, prob, kfs_arr, lms, iters: int, gate_at: int):
-        from ..optim.inertial import visual_inertial_ba
+    def _run_vi_ba(self, prob, kfs_arr, lms, iters: int, gate_at: int,
+                   sparse: bool = False):
+        if sparse:
+            from ..optim.sparse_ba import sparse_vi_ba
 
-        res = visual_inertial_ba(prob, iters=iters, gate_at=gate_at)
+            res = sparse_vi_ba(prob, iters=iters, gate_at=gate_at)
+        else:
+            from ..optim.inertial import visual_inertial_ba
+
+            res = visual_inertial_ba(prob, iters=iters, gate_at=gate_at)
         m = self.map
         n = len(kfs_arr)
         Rwb = np.asarray(res.Rwb)[:n]
@@ -1913,19 +2265,38 @@ class Tracker:
         prob, kfs_arr, lms, _ = built
         self._run_vi_ba(prob, kfs_arr, lms, iters=10, gate_at=5)
 
-    def _full_inertial_ba(self, k: int, prior_g: float, prior_a: float):
-        """FullInertialBA (src/Optimizer.cc:378): whole temporal chain
-        (up to capacity), oldest KF fixed as gauge, bias prior on the
-        newest KF."""
-        chain = self.map.temporal_window(k, self.cfg.vi_full_kf_cap)[::-1]
+    def _full_inertial_ba(self, k: int, prior_g: float, prior_a: float,
+                          iters: int = 15):
+        """FullInertialBA (src/Optimizer.cc:378): the WHOLE temporal
+        chain, oldest KF fixed as gauge, bias prior on the newest KF.
+        Short chains use the dense-blocked window solver; long chains
+        switch to the sparse PCG-Schur solver with bucketed capacities
+        (no window cap — the reference optimizes the entire map)."""
+        cfg = self.cfg
+        chain = self.map.temporal_window(k, 10**6)[::-1]
+        if len(chain) <= cfg.vi_full_kf_cap:
+            built = self._build_vi_problem(
+                chain, K_cap=cfg.vi_full_kf_cap + cfg.ba_fixed_cap,
+                obs_cap=cfg.vi_obs_cap, prior_g=prior_g, prior_a=prior_a,
+            )
+            if built is None:
+                return
+            prob, kfs_arr, lms, _ = built
+            self._run_vi_ba(prob, kfs_arr, lms, iters=iters, gate_at=8)
+            return
+        # Map-scale: bucket K/L/O so recompiles stay bounded.
+        K_cap = -(-(len(chain) + cfg.ba_fixed_cap) // 64) * 64
+        K_cap = min(K_cap, cfg.map_cfg.max_keyframes + cfg.ba_fixed_cap)
         built = self._build_vi_problem(
-            chain, K_cap=self.cfg.vi_full_kf_cap + self.cfg.ba_fixed_cap,
-            obs_cap=self.cfg.vi_obs_cap, prior_g=prior_g, prior_a=prior_a,
+            chain, K_cap=K_cap, obs_cap=cfg.gba_obs_cap,
+            prior_g=prior_g, prior_a=prior_a,
+            lm_cap=cfg.map_cfg.max_landmarks,
         )
         if built is None:
             return
         prob, kfs_arr, lms, _ = built
-        self._run_vi_ba(prob, kfs_arr, lms, iters=15, gate_at=8)
+        self._run_vi_ba(prob, kfs_arr, lms, iters=iters, gate_at=min(8, iters - 2),
+                        sparse=True)
 
     def _seed_depth_points(self, frame: FrameData, k: int) -> list[int]:
         """Create landmarks for unbound close-depth features of a new
@@ -2020,21 +2391,22 @@ class Tracker:
         if len(f1) == 0:
             return []
         f2 = idx_np[f1]
-        try:
-            ids = m.add_landmarks(
-                pos=X[f1],
-                desc_packed=m.kf_desc[k1, f1],
-                desc_i8=self._kf_bits(k1)[f1],
-                first_kf=k1,
-                level=m.kf_level[k1, f1],
-                normal=np.zeros((len(f1), 3), np.float32),
-                min_dist=np.full(len(f1), 0.1, np.float32),
-                max_dist=np.full(len(f1), 100.0, np.float32),
-            )
-        except RuntimeError:
-            return []
-        m.add_observation(k1, f1, ids)
-        m.add_observation(k2, f2, ids)
+        with self.map_lock:  # slot allocation races with depth seeding
+            try:
+                ids = m.add_landmarks(
+                    pos=X[f1],
+                    desc_packed=m.kf_desc[k1, f1],
+                    desc_i8=self._kf_bits(k1)[f1],
+                    first_kf=k1,
+                    level=m.kf_level[k1, f1],
+                    normal=np.zeros((len(f1), 3), np.float32),
+                    min_dist=np.full(len(f1), 0.1, np.float32),
+                    max_dist=np.full(len(f1), 100.0, np.float32),
+                )
+            except RuntimeError:
+                return []
+            m.add_observation(k1, f1, ids)
+            m.add_observation(k2, f2, ids)
         return [int(i) for i in ids]
 
     def _fuse_into_kf(self, lm_ids: np.ndarray, kf: int) -> int:
@@ -2180,9 +2552,20 @@ class Tracker:
             return
         valid_ids = np.nonzero(m.kf_valid)[0]
         fid_min = int(m.kf_frame_id[valid_ids].min())
+        # Redundancy threshold: 90% visual / 50% inertial-stereo
+        # (src/LocalMapping.cc:948: th = mbInertial && !mbMonocular ? 0.5).
+        red_th = (
+            0.5
+            if self.inertial and self.cfg.sensor != Sensor.IMU_MONOCULAR
+            else 0.9
+        )
+        # Work bound per insertion — lifted under capacity pressure so
+        # the fixed-capacity map cannot grow into exhaustion.
+        occupancy = len(valid_ids) / m.cfg.max_keyframes
+        max_cull = 2 if occupancy < 0.7 else 8
         n_culled = 0
         for kf in [int(x) for x in neigh]:
-            if n_culled >= 2:  # bound work per insertion
+            if n_culled >= max_cull:
                 break
             if kf in (k, self.ref_kf, self.last_kf_slot):
                 continue
@@ -2211,7 +2594,7 @@ class Tracker:
                 l2 = lut[lm_sel]
                 count += ((l2 >= 0) & (l2 <= lvl_kf + 1)).astype(np.int32)
             redundant = count >= 3
-            if redundant.mean() < 0.9:
+            if redundant.mean() < red_th:
                 continue
             self._remove_keyframe_full(kf)
             n_culled += 1
@@ -2252,8 +2635,23 @@ class Tracker:
         ids = np.nonzero(weak)[0]
         if len(ids):
             m.remove_landmarks(ids)
+        # Capacity pressure: above 90% occupancy, also drop the
+        # worst-observed landmarks so fixed-capacity slots never run out
+        # mid-sequence (the reference has no capacity, but unbounded
+        # growth here would abort triangulation instead).
+        n_valid = int(m.lm_valid.sum())
+        cap = m.cfg.max_landmarks
+        if n_valid > 0.9 * cap:
+            score = np.where(
+                m.lm_valid, m.lm_obs_count * 10 + m.lm_found, np.iinfo(np.int32).max
+            )
+            n_drop = n_valid - int(0.8 * cap)
+            drop = np.argsort(score)[:n_drop]
+            m.remove_landmarks(drop[m.lm_valid[drop]])
+            log.info("landmark capacity pressure: dropped %d weakest", n_drop)
 
-    def _local_ba(self, window: list[int], fix: list[int] | None = None):
+    def _local_ba(self, window: list[int], fix: list[int] | None = None,
+                  iters: int = 10):
         """Assemble a fixed-capacity BAProblem from the window and run it."""
         from ..optim.local_ba import BAProblem, local_ba
 
@@ -2349,13 +2747,130 @@ class Tracker:
         )
         from ..optim.local_ba import local_ba as run_ba
 
-        res = run_ba(prob, iters=10, gate_at=5)
+        res = run_ba(prob, iters=iters, gate_at=iters // 2)
         R_new = np.asarray(res.R)[: len(kfs)]
         t_new = np.asarray(res.t)[: len(kfs)]
         X_new = np.asarray(res.Xw)[: len(lms)]
-        m.kf_R[kfs] = R_new
-        m.kf_t[kfs] = t_new
-        m.lm_pos[lms] = X_new
+        with self.map_lock:
+            m.kf_R[kfs] = R_new
+            m.kf_t[kfs] = t_new
+            m.lm_pos[lms] = X_new
+
+    # ------------------------------------------------------------------
+    # Global BA (whole map)
+    # ------------------------------------------------------------------
+
+    def _global_ba(self, fix: list[int] | None = None, iters: int | None = None):
+        """Whole-map visual BA (Optimizer::GlobalBundleAdjustemnt,
+        src/Optimizer.cc:46-377) via the sparse PCG-Schur solver. The
+        problem IS the map's SoA arrays: keyframe/landmark slots map 1:1
+        to problem slots, so only the observation table is gathered."""
+        from ..optim.local_ba import BAProblem
+        from ..optim.sparse_ba import sparse_ba
+
+        m = self.map
+        cfg = self.cfg
+        iters = cfg.gba_iters if iters is None else iters
+        if m.n_keyframes() < 3 or m.n_landmarks() < 32:
+            return
+
+        kf_fixed = ~m.kf_valid.copy()
+        if fix:
+            kf_fixed[list(fix)] = True
+        else:
+            # Gauge: the map-origin keyframe (the reference fixes
+            # pMap->GetInitKFid()).
+            valid_ids = np.nonzero(m.kf_valid)[0]
+            origin = int(valid_ids[np.argmin(m.kf_frame_id[valid_ids])])
+            kf_fixed[origin] = True
+
+        ks, fs = np.nonzero(
+            m.kf_valid[:, None] & m.kf_feat_valid & (m.kf_lm_idx >= 0)
+        )
+        o_lm = m.kf_lm_idx[ks, fs]
+        keep = m.lm_valid[o_lm]
+        ks, fs, o_lm = ks[keep], fs[keep], o_lm[keep]
+        n_obs = len(ks)
+        if n_obs < 64:
+            return
+        if n_obs > cfg.gba_obs_cap:
+            log.warning(
+                "global BA: subsampling %d observations to cap %d",
+                n_obs, cfg.gba_obs_cap,
+            )
+            keep = np.random.default_rng(0).permutation(n_obs)[: cfg.gba_obs_cap]
+            ks, fs, o_lm = ks[keep], fs[keep], o_lm[keep]
+            n_obs = len(ks)
+        O_n = min(
+            -(-n_obs // cfg.gba_obs_bucket) * cfg.gba_obs_bucket, cfg.gba_obs_cap
+        )
+        pad_o = O_n - n_obs
+
+        o_uv = (m.kf_xy[ks, fs] - [self.cx, self.cy]).astype(np.float32)
+        o_sig = self._feat_sigma2(m.kf_level[ks, fs])
+        o_ur = (m.kf_ur[ks, fs] - self.cx).astype(np.float32)
+        o_st = m.kf_ur[ks, fs] >= 0
+
+        def pado(x, fill=0):
+            return np.concatenate([x, np.full((pad_o, *x.shape[1:]), fill, x.dtype)])
+
+        prob = BAProblem(
+            R=jnp.asarray(m.kf_R),
+            t=jnp.asarray(m.kf_t),
+            kf_valid=jnp.asarray(m.kf_valid),
+            kf_fixed=jnp.asarray(kf_fixed),
+            Xw=jnp.asarray(m.lm_pos),
+            lm_valid=jnp.asarray(m.lm_valid),
+            obs_kf=jnp.asarray(pado(ks.astype(np.int32))),
+            obs_lm=jnp.asarray(pado(o_lm.astype(np.int32))),
+            obs_uvr=jnp.asarray(
+                pado(np.concatenate([o_uv, o_ur[:, None]], 1))
+            ),
+            obs_sigma2=jnp.asarray(pado(o_sig.astype(np.float32), 1.0)),
+            obs_stereo=jnp.asarray(pado(o_st)),
+            obs_valid=jnp.asarray(
+                np.concatenate([np.ones(n_obs, bool), np.zeros(pad_o, bool)])
+            ),
+            fx=jnp.float32(self.fx),
+            fy=jnp.float32(self.fy),
+            bf=jnp.float32(cfg.bf),
+        )
+        # Multi-chip: shard the observation set over every visible
+        # device and psum the normal-equation reductions over ICI
+        # (parallel/dist_ba.py). Single chip: local solve.
+        from ..parallel.dist_ba import default_mesh, sparse_ba_sharded
+
+        mesh = default_mesh()
+        if mesh is not None and O_n % mesh.devices.size == 0:
+            res = sparse_ba_sharded(
+                mesh, prob, iters=iters, gate_at=max(2, iters // 2)
+            )
+        else:
+            res = sparse_ba(prob, iters=iters, gate_at=max(2, iters // 2))
+        valid_k = m.kf_valid
+        m.kf_R[valid_k] = np.asarray(res.R)[valid_k]
+        m.kf_t[valid_k] = np.asarray(res.t)[valid_k]
+        m.lm_pos[m.lm_valid] = np.asarray(res.Xw)[m.lm_valid]
+        log.info(
+            "global BA: %d KFs, %d lms, %d obs, cost %.1f",
+            m.n_keyframes(), m.n_landmarks(), n_obs, float(res.cost),
+        )
+
+    def _global_ba_after_loop(self, k: int, c: int):
+        """LoopCloser hook (RunGlobalBundleAdjustment semantics,
+        src/LoopClosing.cc:2306-2541): after the essential graph, run a
+        whole-map BA — FullInertialBA(7) when the IMU is initialized,
+        visual GBA otherwise. Runs synchronously (nothing is 'created
+        meanwhile' to patch); the candidate-side KF anchors the gauge."""
+        if not self.cfg.enable_global_ba:
+            return
+        m = self.map
+        with self.timers.span("global_ba"):
+            if self.inertial and m.imu_stage >= 1:
+                self._full_inertial_ba(k, prior_g=0.0, prior_a=0.0, iters=7)
+            else:
+                self._global_ba(fix=[c])
+        m.big_change_idx += 1
 
     # ------------------------------------------------------------------
     # Trajectory
@@ -2377,6 +2892,7 @@ class Tracker:
     def export_trajectory(self):
         """Return (timestamps, Twc 4x4 array) in world frame, TUM-style
         camera-to-world (SaveTrajectoryTUM semantics, src/System.cc:628)."""
+        self.flush_mapping()
         ts, poses = [], []
         maps_by_id = {m.map_id: m for m in self.atlas.maps}
         for fid, t, map_id, k, R_cr, t_cr in self.trajectory:

@@ -1,32 +1,36 @@
-"""Distributed BA over a virtual 8-device mesh: the sharded GN step must
-agree with single-device math and reduce error (SURVEY.md §7 M8)."""
+"""Distributed BA over a virtual 8-device mesh (SURVEY.md §7 M8):
+the observation-sharded sparse PCG-Schur solve must agree with the
+single-device solve to float tolerance AND converge on map-scale
+problems; plus a relative wall-clock scaling sanity check."""
+
+import dataclasses
+import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from orbslam3_cpp_fork_tpu.parallel.dist_ba import make_dist_ba_step, shard_problem
+from orbslam3_cpp_fork_tpu.optim.sparse_ba import sparse_ba
+from orbslam3_cpp_fork_tpu.parallel.dist_ba import (
+    default_mesh, shard_problem, sparse_ba_sharded,
+)
 from orbslam3_cpp_fork_tpu.utils import lie
 
 from test_optim import _make_ba_problem
+from test_sparse_ba import _make_map_scale_problem
 
 
-def test_dist_ba_step_runs_and_converges():
-    devs = jax.devices()
-    assert len(devs) >= 8, "conftest must provide 8 virtual devices"
-    mesh = Mesh(np.array(devs[:8]), ("ba",))
-    prob, R_gt, t_gt, X_gt = _make_ba_problem(K_n=6, L_n=120)
-    # Pad observations to a multiple of 8 for even sharding.
+def _pad_obs(prob, mult):
     O = prob.obs_kf.shape[0]
-    O_pad = ((O + 7) // 8) * 8
-    pad = O_pad - O
+    pad = (-O) % mult
+    if pad == 0:
+        return prob
 
     def padded(x, fill=0):
         return jnp.concatenate([x, jnp.full((pad, *x.shape[1:]), fill, x.dtype)])
 
-    import dataclasses
-    prob = dataclasses.replace(
+    return dataclasses.replace(
         prob,
         obs_kf=padded(prob.obs_kf),
         obs_lm=padded(prob.obs_lm),
@@ -35,18 +39,69 @@ def test_dist_ba_step_runs_and_converges():
         obs_stereo=padded(prob.obs_stereo, False),
         obs_valid=padded(prob.obs_valid, False),
     )
-    prob_sharded = shard_problem(mesh, prob)
-    step = make_dist_ba_step(mesh)
-    R, t, Xw = prob_sharded.R, prob_sharded.t, prob_sharded.Xw
-    for _ in range(8):
-        R, t, Xw = step(prob_sharded, R, t, Xw)
-    R = np.asarray(R)
-    t = np.asarray(t)
-    Xw = np.asarray(Xw)
+
+
+def test_sharded_matches_single_device():
+    """Same problem, same iteration schedule: sharded and local solves
+    must agree to float tolerance (identical math, reduction order
+    aside)."""
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual devices"
+    mesh = Mesh(np.array(devs[:8]), ("obs",))
+    prob, R_gt, t_gt, X_gt = _make_ba_problem(K_n=6, L_n=120)
+    prob = _pad_obs(prob, 8)
+
+    res_local = sparse_ba(prob, iters=8, gate_at=4, cg_iters=40)
+    res_shard = sparse_ba_sharded(mesh, prob, iters=8, gate_at=4, cg_iters=40)
+
+    np.testing.assert_allclose(
+        np.asarray(res_shard.t), np.asarray(res_local.t), atol=2e-3
+    )
+    for k in range(6):
+        dR = np.linalg.norm(np.asarray(lie.so3_log(
+            jnp.swapaxes(res_local.R, -1, -2)[k] @ res_shard.R[k]
+        )))
+        assert dR < 2e-3, (k, dR)
+    np.testing.assert_allclose(
+        np.asarray(res_shard.Xw), np.asarray(res_local.Xw), atol=5e-3
+    )
+    # And both actually solved the problem.
     for k in range(2, 6):
-        R_err = np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(R_gt[k].T @ R[k]))))
-        assert R_err < 1e-2, (k, R_err)
-        np.testing.assert_allclose(t[k], t_gt[k], atol=3e-2)
-    err_before = np.linalg.norm(np.asarray(prob.Xw) - X_gt, axis=1).mean()
-    err_after = np.linalg.norm(Xw[:120] - X_gt, axis=1).mean()
-    assert err_after < 0.5 * err_before
+        np.testing.assert_allclose(np.asarray(res_shard.t[k]), t_gt[k], atol=3e-2)
+
+
+def test_sharded_map_scale_converges_and_scales():
+    """Map-scale problem through the sharded path: converges like the
+    local solver, and per-step wall clock does not degrade
+    catastrophically vs a single-device run of the same shard_map
+    (relative CPU-mesh sanity only; real scaling rides ICI)."""
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), ("obs",))
+    prob, R_gt, t_gt, X_gt = _make_map_scale_problem(K_n=64, L_n=2048,
+                                                     obs_per_kf=256)
+    prob = _pad_obs(prob, 8)
+
+    res = sparse_ba_sharded(mesh, prob, iters=8, gate_at=4, cg_iters=60)
+    t_err_before = np.linalg.norm(np.asarray(prob.t) - t_gt, axis=1).mean()
+    t_err_after = np.linalg.norm(np.asarray(res.t) - t_gt, axis=1).mean()
+    assert t_err_after < 0.3 * t_err_before, (t_err_before, t_err_after)
+
+    # Relative timing: warm both, then measure. On a virtual CPU mesh
+    # all 8 "devices" share the host, so we only assert the sharded
+    # path is not pathologically slower than the local one (true
+    # scaling numbers need real chips; see tools_scaling_bench.py).
+    mesh1 = Mesh(np.array(devs[:1]), ("obs",))
+    sparse_ba_sharded(mesh1, prob, iters=2, gate_at=1, cg_iters=20).cost.block_until_ready()
+    t0 = time.perf_counter()
+    sparse_ba_sharded(mesh1, prob, iters=2, gate_at=1, cg_iters=20).cost.block_until_ready()
+    t_one = time.perf_counter() - t0
+    sparse_ba_sharded(mesh, prob, iters=2, gate_at=1, cg_iters=20).cost.block_until_ready()
+    t0 = time.perf_counter()
+    sparse_ba_sharded(mesh, prob, iters=2, gate_at=1, cg_iters=20).cost.block_until_ready()
+    t_eight = time.perf_counter() - t0
+    assert t_eight < 8.0 * t_one + 1.0, (t_one, t_eight)
+
+
+def test_default_mesh():
+    mesh = default_mesh()
+    assert mesh is not None and mesh.devices.size >= 2

@@ -18,6 +18,8 @@ from orbslam3_cpp_fork_tpu.ops.orb import OrbParams
 from orbslam3_cpp_fork_tpu.runtime.tracker import Tracker, TrackerConfig, TrackState
 from orbslam3_cpp_fork_tpu.utils.evaluation import ate_rmse
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def loop_run():
@@ -32,6 +34,7 @@ def loop_run():
         scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2]
     )
     cfg = TrackerConfig(
+        async_mapping=False,  # deterministic regression gate
         camera=cam,
         width=scene.width,
         height=scene.height,

@@ -79,6 +79,7 @@ def stereo_tracked(scene):
     )
     fx = float(scene.K[0, 0])
     cfg = TrackerConfig(
+        async_mapping=False,  # deterministic regression gate
         camera=cam,
         width=scene.width,
         height=scene.height,
@@ -116,6 +117,7 @@ def test_rgbd_tracks_metric(scene):
     )
     fx = float(scene.K[0, 0])
     cfg = TrackerConfig(
+        async_mapping=False,  # deterministic regression gate
         camera=cam,
         width=scene.width,
         height=scene.height,

@@ -61,7 +61,7 @@ def ran_system(scene_and_traj, tmp_path_factory):
                 w=scene.width, h=scene.height,
             )
         )
-    slam = System(yaml_path, Sensor.MONOCULAR)
+    slam = System(yaml_path, Sensor.MONOCULAR, async_mapping=False)
     stamps = np.arange(len(frames)) * 0.05
     for i, img in enumerate(frames):
         slam.track_monocular(img, float(stamps[i]))
@@ -105,7 +105,7 @@ def test_atlas_checkpoint_roundtrip(ran_system, scene_and_traj, tmp_path):
     # Fresh System, resume from the checkpoint, relocalize in
     # localization-only mode against the loaded map.
     yaml_path = str(d / "settings.yaml")
-    slam2 = System(yaml_path, Sensor.MONOCULAR, load_atlas=path)
+    slam2 = System(yaml_path, Sensor.MONOCULAR, load_atlas=path, async_mapping=False)
     m = slam2.tracker.map
     m_ref = slam.tracker.map
     assert m.n_keyframes() == m_ref.n_keyframes()

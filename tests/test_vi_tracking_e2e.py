@@ -20,6 +20,8 @@ from orbslam3_cpp_fork_tpu.utils.evaluation import ate_rmse
 
 from test_inertial import G_W
 
+pytestmark = pytest.mark.slow
+
 RADIUS = 2.0
 OMEGA = 0.35
 BOB_A = 0.25  # vertical bobbing amplitude (m)
