@@ -39,7 +39,22 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="sleep to dataset timestamps like the reference")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--log-level", default="INFO")
+    p.add_argument("--viewer", action="store_true",
+                   help="offline viewer snapshots/exports (viewer_out/)")
+    p.add_argument("--live-viewer", action="store_true",
+                   help="serve the live map/frame viewer over HTTP "
+                   "(Pangolin viewer analog; URL logged at startup)")
+    p.add_argument("--live-viewer-port", type=int, default=0)
     return p
+
+
+def viewer_kwargs(args) -> dict:
+    """System(...) kwargs for the viewer flags of `base_parser`."""
+    return dict(
+        use_viewer=getattr(args, "viewer", False),
+        live_viewer=getattr(args, "live_viewer", False),
+        live_viewer_port=getattr(args, "live_viewer_port", 0),
+    )
 
 
 def setup_logging(level: str):

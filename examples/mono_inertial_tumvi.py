@@ -11,7 +11,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from examples.common import base_parser, finish, pace, setup_logging
+from examples.common import base_parser, finish, pace, setup_logging, viewer_kwargs
 from orbslam3_cpp_fork_tpu.datasets import tumvi
 from orbslam3_cpp_fork_tpu.runtime.system import System
 from orbslam3_cpp_fork_tpu.runtime.tracker import Sensor
@@ -20,7 +20,8 @@ from orbslam3_cpp_fork_tpu.runtime.tracker import Sensor
 def main():
     args = base_parser(__doc__).parse_args()
     setup_logging(args.log_level)
-    slam = System(args.settings, Sensor.IMU_MONOCULAR, load_atlas=args.load_atlas)
+    slam = System(args.settings, Sensor.IMU_MONOCULAR, load_atlas=args.load_atlas,
+                  **viewer_kwargs(args))
     for si, seq_name in enumerate(args.sequence):
         if si:
             slam.change_dataset()

@@ -14,7 +14,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from examples.common import base_parser, finish, pace, setup_logging
+from examples.common import base_parser, finish, pace, setup_logging, viewer_kwargs
 from orbslam3_cpp_fork_tpu.datasets import tum
 from orbslam3_cpp_fork_tpu.datasets.euroc import ImuRecord, imu_between
 from orbslam3_cpp_fork_tpu.runtime.system import System
@@ -37,7 +37,8 @@ def _load_imu(base: str) -> ImuRecord | None:
 def main():
     args = base_parser(__doc__).parse_args()
     setup_logging(args.log_level)
-    slam = System(args.settings, Sensor.IMU_RGBD, load_atlas=args.load_atlas)
+    slam = System(args.settings, Sensor.IMU_RGBD, load_atlas=args.load_atlas,
+                  **viewer_kwargs(args))
     for si, seq_name in enumerate(args.sequence):
         if si:
             slam.change_dataset()

@@ -8,7 +8,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from examples.common import base_parser, finish, pace, setup_logging
+from examples.common import base_parser, finish, pace, setup_logging, viewer_kwargs
 from orbslam3_cpp_fork_tpu.datasets import kitti
 from orbslam3_cpp_fork_tpu.runtime.system import System
 from orbslam3_cpp_fork_tpu.runtime.tracker import Sensor
@@ -17,7 +17,8 @@ from orbslam3_cpp_fork_tpu.runtime.tracker import Sensor
 def main():
     args = base_parser(__doc__).parse_args()
     setup_logging(args.log_level)
-    slam = System(args.settings, Sensor.STEREO, load_atlas=args.load_atlas)
+    slam = System(args.settings, Sensor.STEREO, load_atlas=args.load_atlas,
+                  **viewer_kwargs(args))
     if args.localization:
         slam.activate_localization_mode()
     for si, seq_name in enumerate(args.sequence):

@@ -13,10 +13,14 @@ Solvers:
   recovery from E (4 candidates) or Faugeras H decomposition
   (8 candidates), cheirality scoring — mirroring
   TwoViewReconstruction::{Reconstruct,ReconstructF,ReconstructH}.
-- `pnp_ransac`: relocalization PnP replacing MLPnPsolver: 6-point DLT
-  camera resection per hypothesis + orthonormalization; refinement is
-  left to motion-only BA (optim/pose_opt.py), like the reference follows
-  MLPnP with PoseOptimization.
+- `mlpnp_ransac`: relocalization PnP with the reference's
+  maximum-likelihood nullspace formulation (MLPnPsolver::computePose,
+  src/MLPnPsolver.cpp:355-560, after Urban et al. MLPnP): per-bearing
+  2D nullspace residuals, 12-unknown (or 9-unknown planar) linear
+  system per hypothesis, then Gauss-Newton refinement of the winning
+  pose on all inliers minimizing the nullspace residuals
+  (mlpnp_gn, src/MLPnPsolver.cpp:701). `pnp_ransac` keeps the simpler
+  6-point DLT resection as a baseline.
 - `sim3_ransac`: Horn closed-form Sim3/SE3 alignment (Sim3Solver) with
   the 4x4 quaternion eigen-system solved by batched `eigh`.
 """
@@ -328,6 +332,212 @@ def pnp_ransac(
         n_inl[best],
         n_inl[best] >= 10,
     )
+
+
+# ----------------------------------------------------------------------------
+# ML-PnP (relocalization) — nullspace bearing-vector formulation.
+# ----------------------------------------------------------------------------
+
+
+def _bearing_nullspaces(v: jax.Array) -> jax.Array:
+    """(N,3) unit bearings -> (N,2,3) orthonormal nullspace bases
+    (the r/s tangent vectors of MLPnPsolver::computePose,
+    src/MLPnPsolver.cpp:367-381, computed by cross products instead of
+    per-vector SVDs)."""
+    ex = jnp.array([1.0, 0.0, 0.0], v.dtype)
+    ey = jnp.array([0.0, 1.0, 0.0], v.dtype)
+    e = jnp.where(jnp.abs(v[:, :1]) > 0.9, ey[None, :], ex[None, :])
+    r = jnp.cross(v, e)
+    r = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True), 1e-12)
+    s = jnp.cross(v, r)
+    return jnp.stack([r, s], axis=1)
+
+
+def _so3_frobenius(M: jax.Array) -> jax.Array:
+    """Closest-rotation projection with the sign convention of the
+    reference (negate the whole matrix when det<0 — valid because the
+    linear solution is defined only up to global sign)."""
+    U, _, Vt = jnp.linalg.svd(M)
+    R = U @ Vt
+    return R * jnp.sign(jnp.linalg.det(R))
+
+
+def _mlpnp_linear(X: jax.Array, ns: jax.Array, v: jax.Array):
+    """One ML-PnP linear solve from a minimal set.
+
+    X: (k,3) world points, ns: (k,2,3) bearing nullspaces, v: (k,3)
+    unit bearings (for disambiguation only). Returns
+    (R, t) with camera-frame point p = R X + t. Solves both the general
+    12-unknown system and the planar 9-unknown eigenframe system
+    (src/MLPnPsolver.cpp:384-406,445-478) and selects by a rank test on
+    sum(X X^T); sign/direction ambiguities are resolved by bearing
+    alignment over the minimal set."""
+    k = X.shape[0]
+    n_flat = ns.reshape(2 * k, 3)  # nullspace rows, point-major
+    X2 = jnp.repeat(X, 2, axis=0)  # matching world point per row
+
+    # --- General case: unknowns m = [R row-major (9), t (3)].
+    # Flattened unknown layout after the reshape is row-interleaved:
+    # [R00 R01 R02 t0 | R10 R11 R12 t1 | R20 R21 R22 t2].
+    A12 = jnp.concatenate(
+        [n_flat[:, :, None] * X2[:, None, :], n_flat[:, :, None]], axis=2
+    ).reshape(2 * k, 12)
+    _, V12 = jnp.linalg.eigh(A12.T @ A12)
+    m = V12[:, 0]
+    M = m[jnp.array([0, 1, 2, 4, 5, 6, 8, 9, 10])].reshape(3, 3)
+    col_n = jnp.linalg.norm(M, axis=0)
+    scale_g = jnp.cbrt(jnp.maximum(col_n[0] * col_n[1] * col_n[2], 1e-12))
+    R_g = _so3_frobenius(M)
+    t_g = m[jnp.array([3, 7, 11])] / scale_g
+
+    # --- Planar case: rotate points into the eigenframe of sum X X^T
+    # (first axis = plane normal); only eigen-columns 2,3 of R' = R E
+    # are observable. Unknowns m9 = [R'[:,1] | R'[:,2] | t].
+    S = X.T @ X
+    w_eig, E = jnp.linalg.eigh(S)  # ascending
+    # eigh may return an improper basis; flip the (sign-arbitrary)
+    # normal column so E is a rotation, else R' E^T is a reflection.
+    E = E.at[:, 0].multiply(jnp.sign(jnp.linalg.det(E)))
+    planar = w_eig[0] < 1e-5 * jnp.maximum(w_eig[2], 1e-12)
+    Xp = X @ E
+    Xp2 = jnp.repeat(Xp, 2, axis=0)
+    A9 = jnp.concatenate(
+        [
+            n_flat[:, :, None] * Xp2[:, None, 1:2],
+            n_flat[:, :, None] * Xp2[:, None, 2:3],
+            n_flat[:, :, None],
+        ],
+        axis=2,
+    ).reshape(2 * k, 9)[:, [0, 3, 6, 1, 4, 7, 2, 5, 8]]
+    # column order: [c1 (3), c2 (3), t (3)]
+    _, V9 = jnp.linalg.eigh(A9.T @ A9)
+    m9 = V9[:, 0]
+    c1 = m9[0:3]
+    c2 = m9[3:6]
+    scale_p = jnp.sqrt(
+        jnp.maximum(jnp.linalg.norm(c1) * jnp.linalg.norm(c2), 1e-12)
+    )
+    c0 = jnp.cross(c1, c2)
+    c0 = c0 / jnp.maximum(jnp.linalg.norm(c0), 1e-12) * scale_p
+    t_p = m9[6:9] / scale_p
+
+    # Sign ambiguities (src/MLPnPsolver.cpp:566-600): the plane-normal
+    # column c0 is unobservable up to sign (s0), and the solution vector
+    # is global-sign ambiguous, flipping (c1, c2, t) together (s1):
+    # four planar candidates. General case: R fixed, t sign ambiguous.
+    def planar_cand(s0, s1):
+        Mp = jnp.stack([s0 * c0, s1 * c1, s1 * c2], axis=1)
+        return _so3_frobenius(Mp) @ E.T, s1 * t_p
+
+    Rp1, tp1 = planar_cand(1.0, 1.0)
+    Rp2, tp2 = planar_cand(1.0, -1.0)
+    Rp3, tp3 = planar_cand(-1.0, 1.0)
+    Rp4, tp4 = planar_cand(-1.0, -1.0)
+    cands_R = jnp.where(
+        planar,
+        jnp.stack([Rp1, Rp2, Rp3, Rp4]),
+        jnp.stack([R_g, R_g, R_g, R_g]),
+    )
+    cands_t = jnp.where(
+        planar,
+        jnp.stack([tp1, tp2, tp3, tp4]),
+        jnp.stack([t_g, -t_g, t_g, -t_g]),
+    )
+
+    # Resolve by bearing alignment + cheirality on the minimal set
+    # (src/MLPnPsolver.cpp:585-646).
+    def align_err(R, t):
+        p = (R @ X.T).T + t
+        u = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
+        d = jnp.sum(u * v, axis=-1)
+        return jnp.sum(1.0 - d) + 10.0 * jnp.sum(p[:, 2] < 0)
+
+    errs = jax.vmap(align_err)(cands_R, cands_t)
+    best = jnp.argmin(errs)
+    return cands_R[best], cands_t[best]
+
+
+def _mlpnp_gn(R, t, Xw, ns, w, iters: int):
+    """Gauss-Newton on the nullspace residuals over the inlier set
+    (mlpnp_gn, src/MLPnPsolver.cpp:701-819; Jacobians by autodiff
+    instead of the generated mlpnpJacs)."""
+
+    def residuals(dx, R, t):
+        Rp = lie.so3_exp(dx[:3]) @ R
+        tp = t + dx[3:]
+        p = (Rp @ Xw.T).T + tp
+        u = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
+        r = jnp.einsum("nkj,nj->nk", ns, u)
+        return (r * w[:, None]).reshape(-1)
+
+    def body(_, state):
+        R, t = state
+        z = jnp.zeros((6,), Xw.dtype)
+        r0 = residuals(z, R, t)
+        J = jax.jacfwd(residuals)(z, R, t)
+        H = J.T @ J + 1e-8 * jnp.eye(6, dtype=Xw.dtype)
+        dx = -jnp.linalg.solve(H, J.T @ r0)
+        ok = jnp.all(jnp.isfinite(dx))
+        dx = jnp.where(ok, dx, 0.0)
+        return (lie.so3_exp(dx[:3]) @ R, t + dx[3:])
+
+    return jax.lax.fori_loop(0, iters, body, (R, t))
+
+
+@partial(jax.jit, static_argnames=("n_hyp", "gn_iters"))
+def mlpnp_ransac(
+    Xw: jax.Array,
+    uv: jax.Array,
+    valid: jax.Array,
+    K: jax.Array,
+    key: jax.Array,
+    n_hyp: int = 128,
+    px_threshold: float = 5.99,
+    gn_iters: int = 4,
+):
+    """Maximum-likelihood PnP RANSAC (MLPnPsolver::iterate,
+    src/MLPnPsolver.cpp:105): world points (N,3) vs ideal-pinhole
+    pixels (N,2) with intrinsics K. Every minimal set is solved with
+    the nullspace formulation in one vmap, the winner's pose is
+    Gauss-Newton-refined on its inliers, and scoring is the reference's
+    pixel reprojection + cheirality check (CheckInliers,
+    src/MLPnPsolver.cpp:307-340).
+
+    Returns (R, t, inliers, n_inliers, success).
+    """
+    Kinv = jnp.linalg.inv(K)
+    uvh = jnp.concatenate([uv, jnp.ones_like(uv[:, :1])], axis=-1)
+    bear = uvh @ Kinv.T
+    bear = bear / jnp.maximum(
+        jnp.linalg.norm(bear, axis=-1, keepdims=True), 1e-12
+    )
+    ns = _bearing_nullspaces(bear)
+
+    idx = _sample_indices(key, n_hyp, 6, valid)
+    hyp_ok = jnp.all(valid[idx], axis=1)
+    R_h, t_h = jax.vmap(_mlpnp_linear)(Xw[idx], ns[idx], bear[idx])
+
+    def score(R, t):
+        Xc = (R @ Xw.T).T + t
+        uv_p = (K @ (Xc / jnp.maximum(Xc[:, 2:3], 1e-9)).T).T[:, :2]
+        e = jnp.sum((uv_p - uv) ** 2, axis=-1)
+        inl = valid & (Xc[:, 2] > 0) & (e < px_threshold)
+        return jnp.sum(inl.astype(jnp.int32)), inl
+
+    n_inl, inl = jax.vmap(score)(R_h, t_h)
+    n_inl = jnp.where(hyp_ok, n_inl, -1)
+    best = jnp.argmax(n_inl)
+    R_b, t_b = R_h[best], t_h[best]
+    # Refine on the winning hypothesis' inliers, then rescore.
+    w = inl[best].astype(Xw.dtype)
+    R_r, t_r = _mlpnp_gn(R_b, t_b, Xw, ns, w, gn_iters)
+    n_ref, inl_ref = score(R_r, t_r)
+    use_ref = n_ref >= n_inl[best]
+    R_f = jnp.where(use_ref, R_r, R_b)
+    t_f = jnp.where(use_ref, t_r, t_b)
+    n_f = jnp.where(use_ref, n_ref, n_inl[best])
+    inl_f = jnp.where(use_ref, inl_ref, inl[best])
+    return R_f, t_f, inl_f, n_f, n_f >= 10
 
 
 # ----------------------------------------------------------------------------

@@ -41,6 +41,8 @@ class System:
         use_viewer: bool = False,
         load_atlas: str | None = None,
         async_mapping: bool = True,
+        live_viewer: bool = False,
+        live_viewer_port: int = 0,
     ):
         if isinstance(settings, str):
             settings = load_settings(settings)
@@ -216,6 +218,14 @@ class System:
             from ..utils.viewer import Viewer as _Viewer
 
             self.viewer = _Viewer("viewer_out", frame_every=30)
+        # Live viewer: localhost HTTP analog of the Pangolin viewer
+        # thread (src/System.cc:259; utils/live_viewer.py).
+        self.live_viewer = None
+        if live_viewer:
+            from ..utils.live_viewer import LiveViewer
+
+            self.live_viewer = LiveViewer(port=live_viewer_port)
+            self.live_viewer.state_provider = self._live_state
         self.timers = timers_mod.StageTimers()
         self._shutdown = False
         if load_atlas or s.load_atlas:
@@ -501,15 +511,39 @@ class System:
     # ------------------------------------------------------------------
 
     def _viewer_update(self, img: np.ndarray):
-        if self.viewer is None:
+        if self.viewer is None and self.live_viewer is None:
             return
         f = self.tracker.last
         if f is None:
             return
-        self.viewer.update(
-            img, f.xy, f.valid, f.lm_idx >= 0,
-            state=self.tracker.state.name,
-        )
+        if self.viewer is not None:
+            self.viewer.update(
+                img, f.xy, f.valid, f.lm_idx >= 0,
+                state=self.tracker.state.name,
+            )
+        if self.live_viewer is not None:
+            self.live_viewer.push_frame(
+                img, f.xy, f.valid, f.lm_idx >= 0,
+                self.tracker.state.name, f.frame_id,
+            )
+
+    def _live_state(self) -> dict:
+        """Map snapshot for the live viewer (called on its HTTP thread;
+        short lock hold, numpy copies only — FrameDrawer::Update/
+        MapDrawer snapshot semantics)."""
+        tr = self.tracker
+        with tr.map_lock:
+            m = tr.map
+            kf = np.nonzero(m.kf_valid)[0]
+            kf = kf[np.argsort(m.kf_timestamp[kf])]
+            centers = -np.einsum("kji,kj->ki", m.kf_R[kf], m.kf_t[kf])
+            pts = m.lm_pos[m.lm_valid].copy()
+            n_loops = tr.loop_closer.n_loops_closed if tr.loop_closer else 0
+        return {
+            "points": pts, "traj": centers,
+            "n_keyframes": len(kf), "n_landmarks": len(pts),
+            "n_loops": int(n_loops),
+        }
 
     def shutdown(self, save_atlas_path: str | None = None):
         """System::Shutdown: stop the mapping pipeline, optionally
@@ -518,6 +552,9 @@ class System:
         if self.tracker.worker is not None:
             self.tracker.worker.stop()
             self.tracker.worker = None
+        if self.live_viewer is not None:
+            self.live_viewer.stop()
+            self.live_viewer = None
         if self.viewer is not None:
             m = self.tracker.map
             # Camera centers: c = -R^T t per keyframe.

@@ -1528,7 +1528,7 @@ class Tracker:
             Xw = np.concatenate([m.lm_pos[ref_lm[sel]], np.zeros((pad, 3), np.float32)])
             uv = np.concatenate([frame.xy[idx_np[sel]], np.zeros((pad, 2), np.float32)])
             valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
-            R, t, inl, n_inl, ok_pnp = ransac.pnp_ransac(
+            R, t, inl, n_inl, ok_pnp = ransac.mlpnp_ransac(
                 jnp.asarray(Xw), jnp.asarray(uv.astype(np.float32)),
                 jnp.asarray(valid), jnp.asarray(self.K), self._next_key(),
             )

@@ -97,6 +97,52 @@ def test_pnp_ransac_with_outliers():
     np.testing.assert_allclose(np.asarray(t), t_gt, atol=0.05)
 
 
+def test_mlpnp_ransac_with_outliers():
+    """ML-PnP (nullspace formulation + GN, MLPnPsolver::computePose
+    src/MLPnPsolver.cpp:355) under 27% outliers."""
+    X = make_scene(150)
+    R_gt = np.asarray(lie.so3_exp(jnp.asarray([0.2, 0.1, -0.3])))
+    t_gt = np.array([0.2, -0.1, 0.5], np.float32)
+    uv, _ = project_np(X, R_gt, t_gt)
+    uv += RNG.normal(0, 0.3, uv.shape).astype(np.float32)
+    uv[:40] = RNG.uniform(0, 700, size=(40, 2)).astype(np.float32)
+    R, t, inl, n_inl, ok = ransac.mlpnp_ransac(
+        jnp.asarray(X), jnp.asarray(uv), jnp.ones(150, bool), jnp.asarray(K),
+        jax.random.PRNGKey(1),
+    )
+    assert bool(ok)
+    assert int(n_inl) > 95
+    R_err = np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(R_gt.T) @ R)))
+    assert R_err < 0.01, R_err
+    np.testing.assert_allclose(np.asarray(t), t_gt, atol=0.03)
+
+
+def test_mlpnp_ransac_planar_scene():
+    """The 9-unknown eigenframe branch (src/MLPnPsolver.cpp:445-478):
+    all world points on one plane through the origin — where plain DLT
+    resection degenerates — must still recover the pose."""
+    n = 160
+    rng = np.random.default_rng(11)
+    X = np.stack(
+        [rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), np.zeros(n)], 1
+    ).astype(np.float32)
+    R_gt = np.asarray(lie.so3_exp(jnp.asarray([0.25, -0.15, 0.1])))
+    t_gt = np.array([0.3, -0.2, 6.0], np.float32)
+    pc = X @ R_gt.T + t_gt
+    uv = (pc / pc[:, 2:]) @ np.asarray(K).T
+    uv = (uv[:, :2] + rng.normal(0, 0.3, (n, 2))).astype(np.float32)
+    uv[:30] = rng.uniform(0, 640, size=(30, 2)).astype(np.float32)
+    R, t, inl, n_inl, ok = ransac.mlpnp_ransac(
+        jnp.asarray(X), jnp.asarray(uv), jnp.ones(n, bool), jnp.asarray(K),
+        jax.random.PRNGKey(4),
+    )
+    assert bool(ok)
+    assert int(n_inl) > 100
+    R_err = np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(R_gt.T) @ R)))
+    assert R_err < 0.01, R_err
+    np.testing.assert_allclose(np.asarray(t), t_gt, atol=0.05)
+
+
 def test_sim3_ransac():
     pa = make_scene(100)
     s_gt = 1.7

@@ -79,3 +79,72 @@ def test_system_viewer_writes_outputs(tmp_path, monkeypatch):
     assert os.path.exists("viewer_out/map.ply")
     assert os.path.exists("viewer_out/map.html")
     assert os.path.exists("viewer_out/frame_000000.png")
+
+
+def test_live_viewer_endpoints():
+    """Live viewer (utils/live_viewer): HTTP analog of the Pangolin
+    viewer thread (src/System.cc:259, src/Viewer.cc:156). Serves the
+    page, the annotated frame, and the map state."""
+    import json
+    import urllib.request
+
+    from orbslam3_cpp_fork_tpu.utils.live_viewer import LiveViewer
+
+    lv = LiveViewer(port=0)
+    try:
+        img = np.zeros((60, 80), np.float32)
+        xy = np.array([[10, 10], [40, 30]], np.float32)
+        lv.push_frame(
+            img, xy, np.array([True, True]), np.array([True, False]),
+            "OK", 7,
+        )
+        lv.state_provider = lambda: {
+            "points": np.array([[0, 0, 5.0], [1, 1, 6.0]], np.float32),
+            "traj": np.array([[0, 0, 0], [0.1, 0, 0]], np.float32),
+            "n_keyframes": 2, "n_landmarks": 2, "n_loops": 0,
+        }
+        page = urllib.request.urlopen(lv.url, timeout=10).read()
+        assert b"state.json" in page
+        png = urllib.request.urlopen(lv.url + "frame.png", timeout=10).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        state = json.loads(
+            urllib.request.urlopen(lv.url + "state.json", timeout=10).read()
+        )
+        assert state["state"] == "OK" and state["frame_id"] == 7
+        assert len(state["points"]) == 2 and len(state["traj"]) == 2
+    finally:
+        lv.stop()
+
+
+def test_live_viewer_in_system():
+    """System(live_viewer=True) serves live map state while tracking."""
+    import json
+    import urllib.request
+
+    from orbslam3_cpp_fork_tpu.datasets import synthetic
+    from orbslam3_cpp_fork_tpu.ops.camera import Camera
+    from orbslam3_cpp_fork_tpu.runtime.system import Sensor, System
+    from orbslam3_cpp_fork_tpu.utils.settings import Settings
+
+    W, H = 320, 240
+    s = Settings(
+        camera_type="PinHole",
+        camera=Camera.pinhole(260.0, 260.0, W / 2, H / 2),
+        width=W, height=H, fps=20.0, rgb=False,
+        n_features=256, scale_factor=1.2, n_levels=4,
+        ini_th_fast=20, min_th_fast=7,
+    )
+    slam = System(s, Sensor.MONOCULAR, live_viewer=True)
+    url = slam.live_viewer.url
+    scene = synthetic.make_scene(n_points=900, width=W, height=H, fx=260.0, seed=1)
+    for i in range(4):
+        img = synthetic.render_frame(
+            scene, np.eye(3, dtype=np.float32),
+            np.array([0.06 * i, 0.0, 0.0], np.float32),
+        )
+        slam.track_monocular(img, i * 0.05)
+    state = json.loads(
+        urllib.request.urlopen(url + "state.json", timeout=10).read()
+    )
+    assert state["frame_id"] >= 0
+    slam.shutdown()
