@@ -17,18 +17,32 @@ the recall validation SURVEY.md §2.8 requires for replacing DBoW2.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import matching
 
+
+@jax.jit
+def _nearest_words(desc_i8, codebook_i8):
+    """Per-descriptor nearest codebook word; argmin runs on device so
+    only (N,) word ids cross the link, not the (N, n_words) distance
+    matrix (~4 MB at 1000x1024)."""
+    return jnp.argmin(matching.hamming_matrix(desc_i8, codebook_i8), axis=1)
+
 N_WORDS = 1024
 
 
 class KeyFrameDatabase:
-    def __init__(self, max_keyframes: int, n_words: int = N_WORDS, seed: int = 0):
+    def __init__(self, max_keyframes: int, n_words: int = N_WORDS, seed: int = 0,
+                 device=None):
         self.n_words = n_words
         self._seed = seed
+        # Optional device pin for the word-assignment program (the
+        # Tracker pins it to the host CPU backend behind high-latency
+        # accelerator links).
+        self.device = device
         self.codebook: np.ndarray | None = None  # (W,256) int8
         self._cb_j = None
         self._pool: list[np.ndarray] = []
@@ -46,7 +60,10 @@ class KeyFrameDatabase:
         rng = np.random.default_rng(self._seed)
         sel = rng.permutation(len(pool))[: self.n_words]
         self.codebook = pool[sel].astype(np.int8)
-        self._cb_j = jnp.asarray(self.codebook)
+        self._cb_j = (
+            jax.device_put(self.codebook, self.device)
+            if self.device is not None else jnp.asarray(self.codebook)
+        )
         self._pool = []
         # Flush keyframes added before the vocabulary existed.
         for k, (d, v) in list(self._pending.items()):
@@ -55,10 +72,11 @@ class KeyFrameDatabase:
         self._pending.clear()
 
     def _hist(self, desc_i8: np.ndarray, valid: np.ndarray) -> np.ndarray:
-        dist = np.asarray(
-            matching.hamming_matrix(jnp.asarray(desc_i8), self._cb_j)
+        d = (
+            jax.device_put(desc_i8, self.device)
+            if self.device is not None else jnp.asarray(desc_i8)
         )
-        words = np.argmin(dist, axis=1)
+        words = np.asarray(_nearest_words(d, self._cb_j))
         h = np.zeros(self.n_words, np.float32)
         np.add.at(h, words[valid], 1.0)
         return h
@@ -72,7 +90,11 @@ class KeyFrameDatabase:
             return None
         return self._hist(desc_i8, valid)
 
-    def add(self, k: int, desc_i8: np.ndarray, valid: np.ndarray):
+    def add(self, k: int, desc_i8: np.ndarray, valid: np.ndarray,
+            hist: np.ndarray | None = None):
+        """Register a keyframe. Pass `hist` (from `histogram`) to reuse
+        an already-computed signature — callers that both query and add
+        the same frame would otherwise pay the device round trip twice."""
         if self.codebook is None:
             d = desc_i8[valid]
             self._pool.append(d.copy())
@@ -80,7 +102,7 @@ class KeyFrameDatabase:
             self._pending[k] = (desc_i8.copy(), valid.copy())
             self._maybe_build_codebook()
             return
-        self.hists[k] = self._hist(desc_i8, valid)
+        self.hists[k] = self._hist(desc_i8, valid) if hist is None else hist
         self.present[k] = True
 
     def erase(self, k: int):

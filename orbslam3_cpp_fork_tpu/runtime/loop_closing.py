@@ -31,6 +31,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,6 +42,44 @@ from ..utils import lie
 from .keyframe_database import KeyFrameDatabase
 
 log = logging.getLogger("orbslam3_tpu.loop")
+
+# Padded landmark capacity for guided-projection verification: fixed
+# shapes keep one compiled program across keyframes (variable-length
+# inputs would recompile nearly every call on TPU).
+_PROJ_CAP = 4096
+
+
+@jax.jit
+def _match_loop_pair(bits_k, bound_k, angle_k, bits_c, bound_c, angle_c):
+    """SearchByBoW-analog matching between two keyframes' landmark-bound
+    features (ratio 0.75, rotation histogram) as ONE device program."""
+    dist = matching.hamming_matrix(bits_k, bits_c)
+    idx, ok = matching.match_nn(
+        dist, bound_k, bound_c, max_dist=matching.TH_LOW, ratio=0.75,
+        cross_check=True,
+    )
+    ok = matching.rotation_consistency(angle_k, angle_c, idx, ok)
+    return idx, ok
+
+
+@jax.jit
+def _proj_count(
+    lm_desc, okp, uv, lvl, rad, kf_desc, kf_xy, kf_level, kf_valid
+):
+    """Guided-projection match count with packed descriptors unpacked on
+    device; returns one scalar (a single small fetch)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    def unpack(d):
+        b = (d[..., :, None] >> shifts) & jnp.uint32(1)
+        return b.reshape(*d.shape[:-1], 256).astype(jnp.int8)
+
+    idx, mok = matching.search_by_projection(
+        unpack(lm_desc), okp, uv, lvl,
+        unpack(kf_desc), kf_xy, kf_level, kf_valid, rad,
+        max_dist=matching.TH_HIGH, ratio=0.95, level_band=1,
+    )
+    return jnp.sum(mok.astype(jnp.int32))
 
 
 @dataclasses.dataclass
@@ -180,6 +219,10 @@ class LoopCloser:
         self.kfdb = kfdb
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.cfg = cfg
+        # Device placement for the detection/validation programs; the
+        # Tracker overrides this with its mapping-backend put function
+        # (host-CPU pinning behind high-latency links).
+        self._put = jnp.asarray
         self.last_loop_kf = -10**9
         self.pending: tuple[int, int] | None = None  # (kf, candidate)
         self.n_loops_closed = 0
@@ -251,6 +294,9 @@ class LoopCloser:
         detection attempt, src/LoopClosing.cc:563)."""
         m = self.m
         bits = self._kf_bits(k)
+        # One signature computation per keyframe, shared by the
+        # detection query and the database insertion.
+        hist = self.kfdb.histogram(bits, m.kf_feat_valid[k])
         proposal = None
         # Inertial guard: no loop/merge attempts until the IMU ladder has
         # completed VIBA2 — scale/gravity are still moving before that
@@ -262,16 +308,17 @@ class LoopCloser:
                 and m.n_keyframes() >= self.cfg.min_kfs
                 and k - self.last_loop_kf > self.cfg.kf_gap_after_loop
             ):
-                proposal = self._detect_and_correct(k, bits)
+                proposal = self._detect_and_correct(k, bits, hist)
         finally:
-            self.kfdb.add(self._gid(k), bits, m.kf_feat_valid[k])
+            self.kfdb.add(self._gid(k), bits, m.kf_feat_valid[k], hist=hist)
         return proposal
 
     # ------------------------------------------------------------------
     # Detection
     # ------------------------------------------------------------------
 
-    def _detect_and_correct(self, k: int, bits: np.ndarray):
+    def _detect_and_correct(self, k: int, bits: np.ndarray,
+                            hist: np.ndarray | None = None):
         """Returns a merge proposal (dst_map_idx, c, (s,R,t)) or None.
         Same-map detections are corrected in place (loop closing);
         other-map detections become merge proposals
@@ -314,15 +361,15 @@ class LoopCloser:
                 if m_c.kf_valid[c]:
                     # S_k'c = T_k'k o S_kc with T_k'k from current poses.
                     Tk = lie.sim3_mul(
-                        jnp.float32(1.0), jnp.asarray(m.kf_R[k]),
-                        jnp.asarray(m.kf_t[k]),
+                        jnp.float32(1.0), self._put(m.kf_R[k]),
+                        self._put(m.kf_t[k]),
                         *lie.sim3_inv(
-                            jnp.float32(1.0), jnp.asarray(m.kf_R[last_k]),
-                            jnp.asarray(m.kf_t[last_k]),
+                            jnp.float32(1.0), self._put(m.kf_R[last_k]),
+                            self._put(m.kf_t[last_k]),
                         ),
                     )
                     s2, R2, t2 = [np.asarray(x) for x in lie.sim3_mul(
-                        *Tk, jnp.float32(sp), jnp.asarray(Rp), jnp.asarray(tp)
+                        *Tk, jnp.float32(sp), self._put(Rp), self._put(tp)
                     )]
                     s2 = float(s2)
                     n_proj = self._projection_matches(k, c, s2, R2, t2, m_c)
@@ -351,7 +398,6 @@ class LoopCloser:
             m.kf_valid & (m.kf_frame_id > m.kf_frame_id[k] - 3 * 30)
         )[0]
         exclude += [self._gid(int(x)) for x in recent]
-        hist = self.kfdb.histogram(bits, m.kf_feat_valid[k])
         if hist is None:
             return None
         gids, scores = self.kfdb.query(hist, np.asarray(exclude), n_best=3)
@@ -386,52 +432,58 @@ class LoopCloser:
         bound_c = m_c.kf_feat_valid[c] & (lm_c >= 0)
         if bound_k.sum() < cfg.min_bow_matches or bound_c.sum() < cfg.min_bow_matches:
             return None
-        dist = matching.hamming_matrix(
-            jnp.asarray(self._kf_bits(k)), jnp.asarray(self._kf_bits(c, m_c))
+        idx, ok = _match_loop_pair(
+            self._put(self._kf_bits(k)), self._put(bound_k),
+            self._put(m.kf_angle[k]),
+            self._put(self._kf_bits(c, m_c)), self._put(bound_c),
+            self._put(m_c.kf_angle[c]),
         )
-        idx, ok = matching.match_nn(
-            dist, jnp.asarray(bound_k), jnp.asarray(bound_c),
-            max_dist=matching.TH_LOW, ratio=0.75, cross_check=True,
-        )
-        ok = np.asarray(
-            matching.rotation_consistency(
-                jnp.asarray(m.kf_angle[k]), jnp.asarray(m_c.kf_angle[c]),
-                idx, ok,
-            )
-        )
-        idx = np.asarray(idx)
+        idx, ok = np.asarray(idx), np.asarray(ok)
         sel = np.nonzero(ok)[0]
         if len(sel) < cfg.min_bow_matches:
             return None
 
         # Matched landmark positions in each camera frame (each from its
-        # own map's coordinates).
-        Xk = m.lm_pos[lm_k[sel]]
-        Xc = m_c.lm_pos[lm_c[idx[sel]]]
-        pc_k = Xk @ m.kf_R[k].T + m.kf_t[k]
-        pc_c = Xc @ m_c.kf_R[c].T + m_c.kf_t[c]
+        # own map's coordinates). Buffers stay at the full feature
+        # capacity with a validity mask so the Sim3 solvers compile once
+        # (a sel-sized shape would recompile nearly every candidate).
+        N = lm_k.shape[0]
+        ns = len(sel)
+        mask = np.zeros(N, bool)
+        mask[:ns] = True
+        pc_k = np.zeros((N, 3), np.float32)
+        pc_c = np.zeros((N, 3), np.float32)
+        pc_k[:ns] = m.lm_pos[lm_k[sel]] @ m.kf_R[k].T + m.kf_t[k]
+        pc_c[:ns] = m_c.lm_pos[lm_c[idx[sel]]] @ m_c.kf_R[c].T + m_c.kf_t[c]
 
-        import jax
-
-        key = jax.random.PRNGKey(int(self._rng.integers(2**31)))
+        # Raw threefry key placed with the solver inputs (PRNGKey would
+        # materialize on the default device and force a cross-device
+        # transfer into the CPU-pinned program).
+        key = self._put(
+            np.asarray([0, self._rng.integers(2**31)], np.uint32)
+        )
         s0, R0, t0, inl, n_inl, ok_r = ransac.sim3_ransac(
-            jnp.asarray(pc_c), jnp.asarray(pc_k),
-            jnp.ones(len(sel), bool), key, fix_scale=cfg.fix_scale,
+            self._put(pc_c), self._put(pc_k),
+            self._put(mask), key, fix_scale=cfg.fix_scale,
         )
         if not bool(ok_r) or int(n_inl) < cfg.min_ransac_inliers:
             return None
 
         # GN refinement with bidirectional reprojection.
-        uv_k = m.kf_xy[k, sel] - [self.cx, self.cy]
-        uv_c = m_c.kf_xy[c, idx[sel]] - [self.cx, self.cy]
+        uv_k = np.zeros((N, 2), np.float32)
+        uv_c = np.zeros((N, 2), np.float32)
+        uv_k[:ns] = m.kf_xy[k, sel] - [self.cx, self.cy]
+        uv_c[:ns] = m_c.kf_xy[c, idx[sel]] - [self.cx, self.cy]
+        sig_k = np.ones(N, np.float32)
+        sig_c = np.ones(N, np.float32)
+        sig_k[:ns] = self._sigma2(m.kf_level[k, sel])
+        sig_c[:ns] = self._sigma2(m_c.kf_level[c, idx[sel]])
         res = sim3_opt.optimize_sim3(
             s0, R0, t0,
-            jnp.asarray(pc_k), jnp.asarray(pc_c),
-            jnp.asarray(uv_k.astype(np.float32)),
-            jnp.asarray(uv_c.astype(np.float32)),
-            jnp.asarray(self._sigma2(m.kf_level[k, sel])),
-            jnp.asarray(self._sigma2(m_c.kf_level[c, idx[sel]])),
-            jnp.ones(len(sel), bool),
+            self._put(pc_k), self._put(pc_c),
+            self._put(uv_k), self._put(uv_c),
+            self._put(sig_k), self._put(sig_c),
+            self._put(mask),
             self.fx, self.fy, fix_scale=cfg.fix_scale,
         )
         if int(res.n_inliers) < cfg.min_sim3_inliers:
@@ -464,8 +516,8 @@ class LoopCloser:
             return 0
         # Corrected k pose as Sim3 (scale folded into translation later).
         s_kw, R_kw, t_kw = [np.asarray(x) for x in lie.sim3_mul(
-            jnp.float32(s), jnp.asarray(R), jnp.asarray(t),
-            jnp.float32(1.0), jnp.asarray(m_c.kf_R[c]), jnp.asarray(m_c.kf_t[c]),
+            jnp.float32(s), self._put(R), self._put(t),
+            jnp.float32(1.0), self._put(m_c.kf_R[c]), self._put(m_c.kf_t[c]),
         )]
         pc = (m_c.lm_pos[lms] @ R_kw.T) * s_kw + t_kw
         z = pc[:, 2]
@@ -474,9 +526,6 @@ class LoopCloser:
         okp = (z > 0.05) & (u >= 0) & (u < 2 * self.cx) & (v >= 0) & (v < 2 * self.cy)
         if okp.sum() < 3:
             return 0
-        bits = np.unpackbits(
-            m_c.lm_desc[lms].view(np.uint8), axis=-1, bitorder="little"
-        ).astype(np.int8)
         uv = np.stack([u, v], 1).astype(np.float32)
         # Scale-aware gating: the predicted pyramid level follows from
         # the viewing distance in CANDIDATE-map units (|pc| / s_kw).
@@ -484,16 +533,26 @@ class LoopCloser:
             m_c.lm_max_dist[lms], np.linalg.norm(pc, axis=1) / max(s_kw, 1e-9),
             r_base=8.0,
         )
-        idx, mok = matching.search_by_projection(
-            jnp.asarray(bits), jnp.asarray(okp), jnp.asarray(uv),
-            jnp.asarray(lvl),
-            jnp.asarray(self._kf_bits(k)), jnp.asarray(m.kf_xy[k]),
-            jnp.asarray(m.kf_level[k]),
-            jnp.asarray(m.kf_feat_valid[k]),
-            jnp.asarray(rad),
-            max_dist=matching.TH_HIGH, ratio=0.95, level_band=1,
+        # Fixed-capacity padding -> single compiled program; packed
+        # descriptors unpacked on device (_proj_count).
+        n = min(len(lms), _PROJ_CAP)
+        pad = _PROJ_CAP - n
+
+        def padf(x, fill=0):
+            x = x[:n]
+            return np.concatenate(
+                [x, np.full((pad, *x.shape[1:]), fill, x.dtype)]
+            )
+
+        n_proj = _proj_count(
+            self._put(padf(m_c.lm_desc[lms])),
+            self._put(padf(okp, False)),
+            self._put(padf(uv)), self._put(padf(lvl)),
+            self._put(padf(rad)),
+            self._put(m.kf_desc[k]), self._put(m.kf_xy[k]),
+            self._put(m.kf_level[k]), self._put(m.kf_feat_valid[k]),
         )
-        return int(np.asarray(mok).sum())
+        return int(n_proj)
 
     # ------------------------------------------------------------------
     # Correction
@@ -511,8 +570,8 @@ class LoopCloser:
 
         # Corrected Sim3 pose of k: S_kw_corr = S_kc o S_cw.
         s_corr, R_corr, t_corr = [np.asarray(x) for x in lie.sim3_mul(
-            jnp.float32(s), jnp.asarray(R), jnp.asarray(t),
-            jnp.float32(1.0), jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c]),
+            jnp.float32(s), self._put(R), self._put(t),
+            jnp.float32(1.0), self._put(m.kf_R[c]), self._put(m.kf_t[c]),
         )]
 
         # Snapshot of pre-correction poses: essential-graph edge
@@ -532,12 +591,12 @@ class LoopCloser:
             S_old[i] = (1.0, m.kf_R[i].copy(), m.kf_t[i].copy())
             # S_ik = S_iw_old o S_kw_old^-1
             si, Ri, ti = [np.asarray(x) for x in lie.sim3_mul(
-                jnp.float32(1.0), jnp.asarray(m.kf_R[i]), jnp.asarray(m.kf_t[i]),
-                *lie.sim3_inv(jnp.float32(1.0), jnp.asarray(R_kw), jnp.asarray(t_kw)),
+                jnp.float32(1.0), self._put(m.kf_R[i]), self._put(m.kf_t[i]),
+                *lie.sim3_inv(jnp.float32(1.0), self._put(R_kw), self._put(t_kw)),
             )]
             sn, Rn, tn = [np.asarray(x) for x in lie.sim3_mul(
-                jnp.float32(si), jnp.asarray(Ri), jnp.asarray(ti),
-                jnp.float32(s_corr), jnp.asarray(R_corr), jnp.asarray(t_corr),
+                jnp.float32(si), self._put(Ri), self._put(ti),
+                jnp.float32(s_corr), self._put(R_corr), self._put(t_corr),
             )]
             S_new[i] = (float(sn), Rn, tn)
 
@@ -560,7 +619,7 @@ class LoopCloser:
                 sn, Rn, tn = S_new[i]
                 pc = (m.lm_pos[selm] @ Ro.T) * so + to
                 sinv, Rinv, tinv = [np.asarray(x) for x in lie.sim3_inv(
-                    jnp.float32(sn), jnp.asarray(Rn), jnp.asarray(tn)
+                    jnp.float32(sn), self._put(Rn), self._put(tn)
                 )]
                 m.lm_pos[selm] = (pc @ Rinv.T) * sinv + tinv
                 for lm in selm:
@@ -622,12 +681,12 @@ class LoopCloser:
                 r_base=3.0,
             )
             idx, mok = matching.search_by_projection(
-                jnp.asarray(bits), jnp.asarray(okp), jnp.asarray(uv),
-                jnp.asarray(lvl),
-                jnp.asarray(self._kf_bits(i)), jnp.asarray(m.kf_xy[i]),
-                jnp.asarray(m.kf_level[i]),
-                jnp.asarray(m.kf_feat_valid[i]),
-                jnp.asarray(rad),
+                self._put(bits), self._put(okp), self._put(uv),
+                self._put(lvl),
+                self._put(self._kf_bits(i)), self._put(m.kf_xy[i]),
+                self._put(m.kf_level[i]),
+                self._put(m.kf_feat_valid[i]),
+                self._put(rad),
                 max_dist=matching.TH_LOW, ratio=0.9, level_band=1,
             )
             idx = np.asarray(idx)
@@ -683,10 +742,10 @@ class LoopCloser:
             # measurement S_ji = S_b o S_a^-1 from the pre-correction
             # snapshot (scale 1).
             inv = lie.sim3_inv(
-                jnp.float32(1.0), jnp.asarray(R_snap[a]), jnp.asarray(t_snap[a])
+                jnp.float32(1.0), self._put(R_snap[a]), self._put(t_snap[a])
             )
             sm, Rm, tm = [np.asarray(x) for x in lie.sim3_mul(
-                jnp.float32(1.0), jnp.asarray(R_snap[b]), jnp.asarray(t_snap[b]), *inv
+                jnp.float32(1.0), self._put(R_snap[b]), self._put(t_snap[b]), *inv
             )]
             ei.append(slot[a]); ej.append(slot[b])
             es.append(float(sm)); eR.append(Rm); et.append(tm); ew.append(wgt)
@@ -710,10 +769,10 @@ class LoopCloser:
         # S_k_corr o S_c^-1 (by construction ~ the Sim3 from validation).
         sk, Rk, tk = S_new[k]
         inv = lie.sim3_inv(
-            jnp.float32(1.0), jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c])
+            jnp.float32(1.0), self._put(m.kf_R[c]), self._put(m.kf_t[c])
         )
         sm, Rm, tm = [np.asarray(x) for x in lie.sim3_mul(
-            jnp.float32(sk), jnp.asarray(Rk), jnp.asarray(tk), *inv
+            jnp.float32(sk), self._put(Rk), self._put(tk), *inv
         )]
         ei.append(slot[c]); ej.append(slot[k])
         es.append(float(sm)); eR.append(Rm); et.append(tm); ew.append(2.0)
@@ -728,12 +787,12 @@ class LoopCloser:
         else:
             mode = "se3" if self.cfg.fix_scale else "sim3"
         res = pose_graph.optimize_pose_graph(
-            jnp.asarray(s0), jnp.asarray(R0), jnp.asarray(t0),
-            jnp.ones(K, bool), jnp.asarray(fixed),
-            jnp.asarray(np.asarray(ei, np.int32)), jnp.asarray(np.asarray(ej, np.int32)),
-            jnp.asarray(np.asarray(es, np.float32)), jnp.asarray(np.stack(eR)),
-            jnp.asarray(np.stack(et)), jnp.asarray(np.asarray(ew, np.float32)),
-            jnp.asarray(pose_graph.FREE_DIMS[mode]),
+            self._put(s0), self._put(R0), self._put(t0),
+            jnp.ones(K, bool), self._put(fixed),
+            self._put(np.asarray(ei, np.int32)), self._put(np.asarray(ej, np.int32)),
+            self._put(np.asarray(es, np.float32)), self._put(np.stack(eR)),
+            self._put(np.stack(et)), self._put(np.asarray(ew, np.float32)),
+            self._put(pose_graph.FREE_DIMS[mode]),
         )
         s_n = np.asarray(res.s)
         R_n = np.asarray(res.R)
@@ -767,7 +826,7 @@ class LoopCloser:
                         so, Ro, to = 1.0, R_snap[i], t_snap[i]
                     pc = (m.lm_pos[selm] @ Ro.T) * so + to
                     sinv, Rinv, tinv = [np.asarray(x) for x in lie.sim3_inv(
-                        jnp.float32(s_n[sl]), jnp.asarray(R_n[sl]), jnp.asarray(t_n[sl])
+                        jnp.float32(s_n[sl]), self._put(R_n[sl]), self._put(t_n[sl])
                     )]
                     m.lm_pos[selm] = (pc @ Rinv.T) * sinv + tinv
 

@@ -44,6 +44,27 @@ from ..ops import geometry
 from ..optim import pose_opt
 from ..utils import lie
 
+# Device-side uint8 -> float32 image conversion: images cross the
+# host->device link as uint8 (4x less bandwidth; ~43 ms vs ~11 ms for a
+# 752x480 frame through a tunneled backend).
+_u8_to_f32 = jax.jit(lambda x: x.astype(jnp.float32))
+
+
+def measure_device_rtt(n: int = 5) -> float:
+    """Round-trip latency (ms) of one synchronous dispatch+fetch on the
+    default backend. A locally attached accelerator measures well under
+    1 ms; a network-tunneled one ~25 ms. Used to decide mapping-solver
+    placement (see TrackerConfig.mapping_backend)."""
+    import time
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    np.asarray(f(x))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(n):
+        np.asarray(f(x))
+    return (time.perf_counter() - t0) / n * 1e3
+
 log = logging.getLogger("orbslam3_tpu.tracker")
 
 
@@ -126,6 +147,18 @@ class TrackerConfig:
     lapping_r: tuple = (0.0, 1e9)
     stereo_init_min_features: int = 500  # StereoInitialization (:2246)
     enable_loop_closing: bool = True
+    # Placement of the mapping-side solvers (triangulation, fusion,
+    # local BA, loop detection/Sim3). These are SMALL problems whose
+    # wall-clock is dominated by host<->device round-trip latency, not
+    # FLOPs — the reference runs them on spare CPU cores (the
+    # LocalMapping/LoopClosing threads) for the same reason. "auto"
+    # keeps them on the default accelerator when its measured RTT is
+    # local-attach-class (<2 ms) and pins them to the host CPU backend
+    # when the accelerator sits behind a high-latency link; "default" /
+    # "cpu" force either choice. The FLOP-heavy front-end (pyramid,
+    # FAST, BRIEF, dense Hamming matmuls, pose opt) always runs on the
+    # accelerator, as does whole-map global BA (one big program).
+    mapping_backend: str = "auto"
     # Pipeline: run mapping + loop closing on a background stage (the
     # reference's LocalMapping/LoopClosing threads) so per-frame track
     # latency stays flat across keyframe insertions. Tracking reads a
@@ -348,26 +381,213 @@ def triangulate_and_check(
     return X, good
 
 
+def _unpack_desc(desc_packed: jax.Array) -> jax.Array:
+    """(...,8) uint32 packed descriptors -> (...,256) int8 bits on
+    device (little-endian; matches np.unpackbits bitorder='little').
+    Descriptors cross the host->device link packed: 8x less bandwidth,
+    which matters at ~25 ms/round-trip through a tunneled backend."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc_packed[..., :, None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(*desc_packed.shape[:-1], 256).astype(jnp.int8)
+
+
+@jax.jit
+def fused_triangulate_batch(
+    R1, t1, desc1, xy1, free1, angle1, level1, depth1, ur1,
+    R2s, t2s, desc2s, xy2s, free2s, angle2s, level2s, depth2s, ur2s,
+    pair_ok, K, bf,
+):
+    """All neighbor-pair triangulation for one keyframe insertion as ONE
+    program: vmap over the covisible neighbors of (fundamental ->
+    epipolar matching -> triangulate + acceptance policy). The
+    sequential per-pair version costs 3 host round-trips per neighbor —
+    ~30 per insertion; this costs one."""
+    bits1 = _unpack_desc(desc1)
+    sig2_1 = SCALE_FACTOR ** (2.0 * level1.astype(jnp.float32))
+
+    def per(R2, t2, d2, xy2, f2, a2, lvl2, dep2, u2, pok):
+        bits2 = _unpack_desc(d2)
+        sig2_2 = SCALE_FACTOR ** (2.0 * lvl2.astype(jnp.float32))
+        F12 = geometry.fundamental_from_poses(R1, t1, R2, t2, K, K)
+        idx, ok = match_triangulation(
+            bits1, xy1, free1 & pok, angle1, bits2, xy2, f2 & pok, a2,
+            sig2_2, F12.T,
+        )
+        oct_ratio = SCALE_FACTOR ** (
+            level1.astype(jnp.float32) - lvl2[idx].astype(jnp.float32)
+        )
+        X, good = triangulate_and_check(
+            R1, t1, R2, t2, K, xy1, xy2[idx], sig2_1, sig2_2[idx],
+            depth1, dep2[idx], ur1, u2[idx], bf, oct_ratio, ok & pok,
+        )
+        return idx, X, good
+
+    return jax.vmap(per)(
+        R2s, t2s, desc2s, xy2s, free2s, angle2s, level2s, depth2s, ur2s,
+        pair_ok,
+    )
+
+
+@jax.jit
+def fused_fuse_batch(
+    lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_desc, lm_valid,
+    tgt_mask,  # (T,L): per-target landmark subset
+    kf_R, kf_t,  # (T,3,3), (T,3)
+    kf_desc, kf_xy, kf_level, kf_valid,  # (T,N,8),(T,N,2),(T,N),(T,N)
+    fx, fy, cx, cy, width, height,
+):
+    """The matching half of SearchInNeighbors duplicate fusion
+    (ORBmatcher::Fuse, src/ORBmatcher.cc:1149) batched over all target
+    keyframes in ONE program: project each landmark subset into its
+    target, window-match at the scale-predicted radius, chi2-gate.
+    Returns (idx (T,L), ok (T,L)); the merge bookkeeping (Replace
+    policy) stays on host. Sequentially this was one recompiling device
+    call per target (~12 per insertion)."""
+    lm_bits = _unpack_desc(lm_desc)
+
+    def per(R, t, mask, d, xy, lvl, fv):
+        bits_kf = _unpack_desc(d)
+        pc = lie.se3_apply(R, t, lm_pos)
+        z = pc[:, 2]
+        zs = jnp.where(z < 1e-6, 1e-6, z)
+        u = fx * pc[:, 0] / zs + cx
+        v = fy * pc[:, 1] / zs + cy
+        c = -jnp.einsum("ji,j->i", R, t)
+        dvec = lm_pos - c
+        dist = jnp.linalg.norm(dvec, axis=-1)
+        cosv = jnp.sum(dvec * lm_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+        okp = (
+            mask & lm_valid & (z > 0.05)
+            & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+            & (dist >= lm_min_dist) & (dist <= lm_max_dist)
+            & (cosv > 0.5)
+        )
+        ratio = jnp.maximum(lm_max_dist / jnp.maximum(dist, 1e-9), 1.0)
+        lvl_pred = jnp.clip(
+            jnp.ceil(jnp.log(ratio) / jnp.log(SCALE_FACTOR)), 0, N_LEVELS - 1
+        ).astype(jnp.int32)
+        radius = 3.0 * SCALE_FACTOR ** lvl_pred.astype(jnp.float32)
+        uv = jnp.stack([u, v], -1)
+        dmat = matching.hamming_matrix(lm_bits, bits_kf)
+        pen = matching.window_penalty(
+            uv, xy, radius, lvl, lvl_pred - 1, lvl_pred + 1
+        )
+        idx, mok = matching.match_nn(
+            dmat, okp, fv, matching.TH_LOW, 1.0,
+            cross_check=True, extra_penalty=pen,
+        )
+        # Reprojection chi2 gate at the matched keypoint's octave
+        # (src/ORBmatcher.cc:1231-1260).
+        e2 = jnp.sum((xy[idx] - uv) ** 2, axis=-1)
+        sig2 = SCALE_FACTOR ** (2.0 * lvl[idx].astype(jnp.float32))
+        mok = mok & (e2 <= 5.991 * sig2)
+        return idx, mok
+
+    return jax.vmap(per)(kf_R, kf_t, tgt_mask, kf_desc, kf_xy, kf_level, kf_valid)
+
+
 # ----------------------------------------------------------------------------
 # Frame record (host)
 # ----------------------------------------------------------------------------
 
 
-@dataclasses.dataclass
 class FrameData:
-    frame_id: int
-    timestamp: float
-    xy: np.ndarray  # (N,2) undistorted pixels
-    level: np.ndarray
-    angle: np.ndarray
-    desc: np.ndarray  # (N,8) packed
-    desc_i8: np.ndarray  # (N,256)
-    valid: np.ndarray
-    R: np.ndarray | None = None  # Tcw
-    t: np.ndarray | None = None
-    lm_idx: np.ndarray | None = None  # (N,) bound landmark ids (-1 none)
-    ur: np.ndarray | None = None  # (N,) right-u (<0 mono feature)
-    depth: np.ndarray | None = None  # (N,) depth (<0 unknown)
+    """Per-frame record (the reference's Frame, include/Frame.h:56).
+
+    Feature arrays are LAZY: the device fast path keeps extraction
+    output on-device and host copies materialize on first attribute
+    access in ONE batched transfer (a tunneled TPU backend costs ~25 ms
+    per synchronous fetch, so per-field `np.asarray` calls are the
+    difference between 2 and 30+ fps). `desc_i8` is never transferred —
+    it is recomputed from the packed descriptors on host."""
+
+    _LAZY = ("xy", "level", "angle", "desc", "valid")
+
+    def __init__(self, frame_id, timestamp, xy=None, level=None, angle=None,
+                 desc=None, desc_i8=None, valid=None, R=None, t=None,
+                 lm_idx=None, ur=None, depth=None, feats_dev=None,
+                 xy_dev=None):
+        self.frame_id = frame_id
+        self.timestamp = timestamp
+        self._xy = xy
+        self._level = level
+        self._angle = angle
+        self._desc = desc
+        self._desc_i8 = desc_i8
+        self._valid = valid
+        self.R = R  # Tcw
+        self.t = t
+        self.lm_idx = lm_idx  # (N,) bound landmark ids (-1 none)
+        self.ur = ur  # (N,) right-u (<0 mono feature)
+        self.depth = depth  # (N,) depth (<0 unknown)
+        self._feats_dev = feats_dev  # OrbFeatures device struct
+        self._xy_dev = xy_dev  # undistorted keypoints, device
+
+    def _materialize(self):
+        fd = self._feats_dev
+        if fd is None:
+            return
+        xy, level, angle, desc, valid = jax.device_get(
+            (self._xy_dev if self._xy_dev is not None else fd.xy,
+             fd.level, fd.angle, fd.desc, fd.valid)
+        )
+        if self._xy is None:
+            self._xy = np.asarray(xy)
+        if self._level is None:
+            self._level = np.asarray(level)
+        if self._angle is None:
+            self._angle = np.asarray(angle)
+        if self._desc is None:
+            self._desc = np.asarray(desc)
+        if self._valid is None:
+            self._valid = np.asarray(valid)
+
+    @property
+    def xy(self) -> np.ndarray:
+        if self._xy is None:
+            self._materialize()
+        return self._xy
+
+    @property
+    def level(self) -> np.ndarray:
+        if self._level is None:
+            self._materialize()
+        return self._level
+
+    @property
+    def angle(self) -> np.ndarray:
+        if self._angle is None:
+            self._materialize()
+        return self._angle
+
+    @property
+    def desc(self) -> np.ndarray:
+        if self._desc is None:
+            self._materialize()
+        return self._desc
+
+    @property
+    def valid(self) -> np.ndarray:
+        if self._valid is None:
+            self._materialize()
+        return self._valid
+
+    @property
+    def desc_i8(self) -> np.ndarray:
+        if self._desc_i8 is None:
+            self._desc_i8 = np.unpackbits(
+                np.ascontiguousarray(self.desc).view(np.uint8),
+                axis=-1, bitorder="little",
+            ).astype(np.int8)
+        return self._desc_i8
+
+    @property
+    def desc_i8_dev(self):
+        """Device-side unpacked bits when available (avoids host round
+        trips in functions that re-upload desc_i8)."""
+        if self._feats_dev is not None:
+            return self._feats_dev.desc_i8
+        return self.desc_i8
 
 
 class Tracker:
@@ -454,8 +674,31 @@ class Tracker:
         from .keyframe_database import KeyFrameDatabase
         from .loop_closing import LoopCloser, LoopConfig
 
+        # Mapping-solver placement (see TrackerConfig.mapping_backend).
+        self._map_dev = None
+        if cfg.mapping_backend == "cpu" or (
+            cfg.mapping_backend == "auto"
+            and jax.default_backend() != "cpu"
+            and measure_device_rtt() > 2.0
+        ):
+            try:
+                self._map_dev = jax.devices("cpu")[0]
+                log.info(
+                    "mapping solvers pinned to host CPU backend "
+                    "(default-device RTT is high)"
+                )
+            except RuntimeError:
+                self._map_dev = None
+        self._mput = (
+            (lambda x: jax.device_put(x, self._map_dev))
+            if self._map_dev is not None
+            else jnp.asarray
+        )
+
         self.max_maps = 16
-        self.kfdb = KeyFrameDatabase(self.max_maps * cfg.map_cfg.max_keyframes)
+        self.kfdb = KeyFrameDatabase(
+            self.max_maps * cfg.map_cfg.max_keyframes, device=self._map_dev
+        )
         fix_scale = cfg.sensor != Sensor.MONOCULAR
         self.loop_closer = (
             LoopCloser(
@@ -470,6 +713,7 @@ class Tracker:
         if self.loop_closer is not None:
             self.loop_closer.global_ba_hook = self._global_ba_after_loop
             self.loop_closer.lock = self.map_lock
+            self.loop_closer._put = self._mput
         self._seen_change_idx = 0
         self._pending_merge: tuple | None = None
         self.worker = None
@@ -495,20 +739,26 @@ class Tracker:
         return k
 
     def _extract(self, img: np.ndarray, timestamp: float) -> FrameData:
+        """Dispatch extraction + undistortion; keep results on device.
+
+        No synchronous transfer happens here: the fused tracking path
+        consumes the device handles directly, and host copies
+        materialize lazily (one batched fetch) only on paths that need
+        them (KF insertion, initialization, relocalization, stereo)."""
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
         with self.timers.span("orb_extract"):
-            feats = orb.extract_orb_jit(jnp.asarray(img, jnp.float32), self.cfg.orb)
-            jax.block_until_ready(feats.xy)
+            feats = orb.extract_orb_jit(
+                _u8_to_f32(jnp.asarray(img)), self.cfg.orb
+            )
         xy_ud = undistort_points(self.cam, feats.xy)
         n = self.cfg.orb.n_features
         fd = FrameData(
             frame_id=self.frame_id,
             timestamp=timestamp,
-            xy=np.asarray(xy_ud),
-            level=np.asarray(feats.level),
-            angle=np.asarray(feats.angle),
-            desc=np.asarray(feats.desc),
-            desc_i8=np.asarray(feats.desc_i8),
-            valid=np.asarray(feats.valid),
+            feats_dev=feats,
+            xy_dev=xy_ud,
             lm_idx=np.full(n, -1, np.int32),
             ur=np.full(n, -1.0, np.float32),
             depth=np.full(n, -1.0, np.float32),
@@ -1361,6 +1611,90 @@ class Tracker:
         return int(inl.sum())
 
     def _track_frame(self, frame: FrameData):
+        """Per-frame OK-state tracking. Visual monocular frames take the
+        fused single-program device path (runtime/device_step.py
+        fused_track_stages — one result fetch per frame); everything
+        else, and any frame the fused path cannot confidently track,
+        runs the split-phase path."""
+        if (
+            not self.inertial
+            and self.cfg.sensor == Sensor.MONOCULAR
+            and frame._feats_dev is not None
+            and self.last is not None
+            and self.last.R is not None
+        ):
+            with self.timers.span("track_fused"):
+                if self._track_frame_fused(frame):
+                    return
+        self._track_frame_slow(frame)
+
+    def _track_frame_fused(self, frame: FrameData) -> bool:
+        """One-dispatch tracking: build the local-map problem from the
+        previous frame's local keyframes (bounded-stale by one frame),
+        upload, run fused_track_stages, fetch the small result block.
+        Returns False to hand the frame to the split-phase path."""
+        m = self.map
+        cap = self.cfg.local_lm_cap
+        with self.map_lock:
+            last_bound = np.unique(self.last.lm_idx[self.last.lm_idx >= 0])
+            last_bound = last_bound[m.lm_valid[last_bound]]
+            if len(last_bound) < 10:
+                return False
+            local_kfs = self._local_keyframes(self.last)
+            lm_ids = m.local_map_landmarks(local_kfs)
+            lm_ids = np.union1d(lm_ids, last_bound)[:cap]
+            n = len(lm_ids)
+            if n < 30:
+                return False
+            pad = cap - n
+
+            def padf(x, fill=0):
+                return np.concatenate(
+                    [x, np.full((pad, *x.shape[1:]), fill, x.dtype)]
+                )
+
+            pos = padf(m.lm_pos[lm_ids])
+            normal = padf(m.lm_normal[lm_ids])
+            mind = padf(m.lm_min_dist[lm_ids])
+            maxd = padf(m.lm_max_dist[lm_ids])
+            desc = padf(m.lm_desc[lm_ids])
+            lmv = padf(m.lm_valid[lm_ids], False)
+        stage1 = np.zeros(cap, bool)
+        stage1[:n] = np.isin(lm_ids, last_bound)
+        self._predict_pose(frame)
+        fd = frame._feats_dev
+        from .device_step import fused_track_stages  # lazy: import cycle
+
+        out = fused_track_stages(
+            frame._xy_dev, fd.level, fd.desc_i8, fd.valid,
+            jnp.asarray(frame.R), jnp.asarray(frame.t),
+            jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(mind),
+            jnp.asarray(maxd), jnp.asarray(desc), jnp.asarray(lmv),
+            jnp.asarray(stage1), jnp.int32(self.cfg.min_track_matches),
+            self.fx, self.fy, self.cx, self.cy,
+            float(self.cfg.width), float(self.cfg.height),
+        )
+        R, t, idx_m, mok_m, inl, n_in, n_s1, vis = jax.device_get(out)
+        n_in = int(n_in)
+        log.debug(
+            "frame %d fused: %d local-lms, %d stage1, %d inliers",
+            frame.frame_id, n, int(n_s1), n_in,
+        )
+        if n_in < self.cfg.min_localmap_inliers:
+            return False  # split-phase path retries with its ladders
+        frame.R = np.asarray(R)
+        frame.t = np.asarray(t)
+        sel = np.nonzero(np.asarray(mok_m) & np.asarray(inl))[0]
+        sel = sel[sel < n]
+        frame.lm_idx[:] = -1
+        frame.lm_idx[np.asarray(idx_m)[sel]] = lm_ids[sel]
+        with self.map_lock:
+            m.lm_visible[lm_ids[np.asarray(vis)[:n]]] += 1
+            m.lm_found[lm_ids[sel]] += 1
+        self._finish_tracked_frame(frame, n_in)
+        return True
+
+    def _track_frame_slow(self, frame: FrameData):
         if self.inertial:
             # Extend the running since-KF preintegration by this frame's
             # measurements (mpImuPreintegratedFromLastKF).
@@ -1427,6 +1761,12 @@ class Tracker:
             self._set_lost(frame)
             return
 
+        self._finish_tracked_frame(frame, n_in)
+
+    def _finish_tracked_frame(self, frame: FrameData, n_in: int):
+        """Post-track bookkeeping shared by the fused and split-phase
+        paths: motion model update, keyframe policy, last-frame state."""
+        m = self.map
         self.state = TrackState.OK
         # Motion model: velocity = Tcw_cur * Twc_last.
         Rl_inv, tl_inv = np.asarray(self.last.R).T, -np.asarray(self.last.R).T @ self.last.t
@@ -1746,20 +2086,23 @@ class Tracker:
         m.update_landmark_stats(np.unique(seen))
 
         new_ids: list[int] = []
-        # New landmarks by epipolar triangulation vs covisible KFs.
+        # New landmarks by epipolar triangulation vs covisible KFs —
+        # all neighbor pairs in one device program.
         neigh, _ = m.covisible_keyframes(k, min_weight=15, top=self.cfg.local_window_kfs)
-        for k2 in neigh:
-            new_ids.extend(self._triangulate_new(k, int(k2)))
+        with self.timers.span("map_triangulate"):
+            new_ids = self._triangulate_new_batch(k, neigh)
         if new_ids:
             m.update_landmark_stats(np.asarray(new_ids))
 
         # Fuse duplicate landmarks with the covisibility neighborhood
         # (LocalMapping::SearchInNeighbors, src/LocalMapping.cc:743).
         with self.map_lock:
-            self._search_in_neighbors(k)
+            with self.timers.span("map_fuse"):
+                self._search_in_neighbors(k)
 
             # Cull weak recent landmarks (MapPointCulling :382-416).
-            self._cull_landmarks()
+            with self.timers.span("map_cull_lm"):
+                self._cull_landmarks()
 
         # Local BA: visual-inertial temporal window once the IMU is
         # initialized, otherwise visual covisibility window. The
@@ -1772,7 +2115,8 @@ class Tracker:
             self._local_inertial_ba(k)
         elif not interrupted:
             window = [k] + [int(x) for x in neigh[: self.cfg.ba_kf_cap - 1]]
-            self._local_ba(window)
+            with self.timers.span("map_local_ba"):
+                self._local_ba(window)
 
         # IMU initialization ladder (LocalMapping::Run :232-286;
         # synchronous mode only — it rewrites live tracking state).
@@ -1782,13 +2126,15 @@ class Tracker:
         # Redundant-keyframe culling (LocalMapping::KeyFrameCulling).
         if not interrupted:
             with self.map_lock:
-                self._cull_keyframes(k)
+                with self.timers.span("map_cull_kf"):
+                    self._cull_keyframes(k)
 
         # Place recognition: loop detection/correction, then register the
         # keyframe in the database (LoopClosing::InsertKeyFrame handoff).
         if self.loop_closer is not None:
             big0 = m.big_change_idx
-            merge = self.loop_closer.process_keyframe(k)
+            with self.timers.span("map_loop"):
+                merge = self.loop_closer.process_keyframe(k)
             if merge is not None:
                 if self.worker is not None:
                     # Merges rewrite live tracking state: hand back to
@@ -2330,142 +2676,92 @@ class Tracker:
         m.add_observation(k, take, ids)
         return [int(i) for i in ids]
 
-    def _triangulate_new(self, k1: int, k2: int) -> list[int]:
-        """Triangulate new landmarks between two keyframes."""
+    def _triangulate_new_batch(self, k1: int, neigh) -> list[int]:
+        """Triangulate new landmarks between keyframe k1 and its
+        covisible neighbors — all pairs in one fused_triangulate_batch
+        dispatch (padded to local_window_kfs rows so the program
+        compiles once), then host-side slot allocation with cross-pair
+        feature dedup (the sequential reference binds a feature at its
+        first successful pair, LocalMapping::CreateNewMapPoints)."""
         m = self.map
-        # Baseline check vs scene depth (reference skips short baselines).
-        c1 = -m.kf_R[k1].T @ m.kf_t[k1]
-        c2 = -m.kf_R[k2].T @ m.kf_t[k2]
-        baseline = np.linalg.norm(c1 - c2)
-        seen2 = m.kf_lm_idx[k2]
-        depths = []
-        lm2 = seen2[seen2 >= 0]
-        if len(lm2):
-            pc = m.lm_pos[lm2] @ m.kf_R[k2].T + m.kf_t[k2]
-            depths = pc[:, 2]
-        med_depth = float(np.median(depths)) if len(depths) else 1.0
-        if baseline / max(med_depth, 1e-6) < 0.01:
+        T = self.cfg.local_window_kfs
+        ks = [int(x) for x in neigh[:T]]
+        if not ks:
             return []
-
-        F12 = np.asarray(
-            geometry.fundamental_from_poses(
+        # Baseline-vs-depth gate per pair (reference skips short
+        # baselines).
+        c1 = -m.kf_R[k1].T @ m.kf_t[k1]
+        pair_ok = np.zeros(T, bool)
+        for j, k2 in enumerate(ks):
+            c2 = -m.kf_R[k2].T @ m.kf_t[k2]
+            baseline = float(np.linalg.norm(c1 - c2))
+            lm2 = m.kf_lm_idx[k2]
+            lm2 = lm2[lm2 >= 0]
+            med = 1.0
+            if len(lm2):
+                pc = m.lm_pos[lm2] @ m.kf_R[k2].T + m.kf_t[k2]
+                med = float(np.median(pc[:, 2]))
+            pair_ok[j] = baseline / max(med, 1e-6) >= 0.01
+        if not pair_ok.any():
+            return []
+        arr = np.asarray(ks + [ks[0]] * (T - len(ks)))
+        free1 = m.kf_feat_valid[k1] & (m.kf_lm_idx[k1] < 0)
+        free2 = m.kf_feat_valid[arr] & (m.kf_lm_idx[arr] < 0)
+        idxs, Xs, goods = jax.device_get(
+            fused_triangulate_batch(
                 jnp.asarray(m.kf_R[k1]), jnp.asarray(m.kf_t[k1]),
-                jnp.asarray(m.kf_R[k2]), jnp.asarray(m.kf_t[k2]),
-                jnp.asarray(self.K), jnp.asarray(self.K),
+                jnp.asarray(m.kf_desc[k1]), jnp.asarray(m.kf_xy[k1]),
+                jnp.asarray(free1), jnp.asarray(m.kf_angle[k1]),
+                jnp.asarray(m.kf_level[k1]), jnp.asarray(m.kf_depth[k1]),
+                jnp.asarray(m.kf_ur[k1]),
+                jnp.asarray(m.kf_R[arr]), jnp.asarray(m.kf_t[arr]),
+                jnp.asarray(m.kf_desc[arr]), jnp.asarray(m.kf_xy[arr]),
+                jnp.asarray(free2), jnp.asarray(m.kf_angle[arr]),
+                jnp.asarray(m.kf_level[arr]), jnp.asarray(m.kf_depth[arr]),
+                jnp.asarray(m.kf_ur[arr]),
+                jnp.asarray(pair_ok), jnp.asarray(self.K),
+                jnp.float32((self.cfg.bf)),
             )
         )
-        free1 = m.kf_feat_valid[k1] & (m.kf_lm_idx[k1] < 0)
-        free2 = m.kf_feat_valid[k2] & (m.kf_lm_idx[k2] < 0)
-        sig2_2 = self._feat_sigma2(m.kf_level[k2])
-        idx, ok = match_triangulation(
-            jnp.asarray(self._kf_bits(k1)), jnp.asarray(m.kf_xy[k1]),
-            jnp.asarray(free1), jnp.asarray(m.kf_angle[k1]),
-            jnp.asarray(self._kf_bits(k2)), jnp.asarray(m.kf_xy[k2]),
-            jnp.asarray(free2), jnp.asarray(m.kf_angle[k2]),
-            jnp.asarray(sig2_2), jnp.asarray(F12.T),
-        )
-        ok_np = np.asarray(ok)
-        idx_np = np.asarray(idx)
-        if ok_np.sum() == 0:
-            return []
-        oct_ratio = SCALE_FACTOR ** (
-            m.kf_level[k1].astype(np.float32)
-            - m.kf_level[k2][idx_np].astype(np.float32)
-        )
-        X, good = triangulate_and_check(
-            jnp.asarray(m.kf_R[k1]), jnp.asarray(m.kf_t[k1]),
-            jnp.asarray(m.kf_R[k2]), jnp.asarray(m.kf_t[k2]),
-            jnp.asarray(self.K),
-            jnp.asarray(m.kf_xy[k1]), jnp.asarray(m.kf_xy[k2][idx_np]),
-            jnp.asarray(self._feat_sigma2(m.kf_level[k1])),
-            jnp.asarray(self._feat_sigma2(m.kf_level[k2][idx_np])),
-            jnp.asarray(m.kf_depth[k1]), jnp.asarray(m.kf_depth[k2][idx_np]),
-            jnp.asarray(m.kf_ur[k1]), jnp.asarray(m.kf_ur[k2][idx_np]),
-            jnp.float32(self.cfg.bf),
-            jnp.asarray(oct_ratio.astype(np.float32)),
-            jnp.asarray(ok_np),
-        )
-        good = np.asarray(good)
-        X = np.asarray(X)
-        f1 = np.nonzero(good)[0]
-        if len(f1) == 0:
-            return []
-        f2 = idx_np[f1]
-        with self.map_lock:  # slot allocation races with depth seeding
-            try:
-                ids = m.add_landmarks(
-                    pos=X[f1],
-                    desc_packed=m.kf_desc[k1, f1],
-                    desc_i8=self._kf_bits(k1)[f1],
-                    first_kf=k1,
-                    level=m.kf_level[k1, f1],
-                    normal=np.zeros((len(f1), 3), np.float32),
-                    min_dist=np.full(len(f1), 0.1, np.float32),
-                    max_dist=np.full(len(f1), 100.0, np.float32),
-                )
-            except RuntimeError:
-                return []
-            m.add_observation(k1, f1, ids)
-            m.add_observation(k2, f2, ids)
-        return [int(i) for i in ids]
+        new_ids: list[int] = []
+        bound1 = ~free1
+        bits1 = self._kf_bits(k1)
+        for j, k2 in enumerate(ks):
+            if not pair_ok[j]:
+                continue
+            good = np.asarray(goods[j]) & ~bound1
+            f1 = np.nonzero(good)[0]
+            if len(f1) == 0:
+                continue
+            f2 = np.asarray(idxs[j])[f1]
+            with self.map_lock:  # slot allocation races with depth seeding
+                try:
+                    ids = m.add_landmarks(
+                        pos=np.asarray(Xs[j])[f1],
+                        desc_packed=m.kf_desc[k1, f1],
+                        desc_i8=bits1[f1],
+                        first_kf=k1,
+                        level=m.kf_level[k1, f1],
+                        normal=np.zeros((len(f1), 3), np.float32),
+                        min_dist=np.full(len(f1), 0.1, np.float32),
+                        max_dist=np.full(len(f1), 100.0, np.float32),
+                    )
+                except RuntimeError:
+                    return new_ids
+                m.add_observation(k1, f1, ids)
+                m.add_observation(k2, f2, ids)
+            bound1[f1] = True
+            new_ids.extend(int(i) for i in ids)
+        return new_ids
 
-    def _fuse_into_kf(self, lm_ids: np.ndarray, kf: int) -> int:
-        """Project landmarks into keyframe `kf`, match descriptors inside
-        3-sigma windows, and fuse: a match bound to a different landmark
-        merges into whichever has more observations (MapPoint::Replace
-        policy of ORBmatcher::Fuse, src/ORBmatcher.cc:1149); an unbound
+    def _apply_fuse_matches(self, lm_ids: np.ndarray, kf: int,
+                            idx: np.ndarray, mok: np.ndarray) -> int:
+        """Merge bookkeeping for fuse matches of `lm_ids` into keyframe
+        `kf` (the host half of ORBmatcher::Fuse — MapPoint::Replace
+        policy, src/ORBmatcher.cc:1149): a match bound to a different
+        landmark merges into whichever has more observations; an unbound
         match gains an observation."""
         m = self.map
-        lm_ids = lm_ids[m.lm_valid[lm_ids]][: self.cfg.local_lm_cap]
-        if len(lm_ids) == 0:
-            return 0
-        pc = m.lm_pos[lm_ids] @ m.kf_R[kf].T + m.kf_t[kf]
-        z = pc[:, 2]
-        u = self.fx * pc[:, 0] / np.maximum(z, 1e-6) + self.cx
-        v = self.fy * pc[:, 1] / np.maximum(z, 1e-6) + self.cy
-        okp = (
-            (z > 0.05)
-            & (u >= 0) & (u < self.cfg.width)
-            & (v >= 0) & (v < self.cfg.height)
-        )
-        # Scale-invariance distance band + viewing angle (Fuse's
-        # isInFrustum-style gates, src/ORBmatcher.cc:1190-1215).
-        c = -m.kf_R[kf].T @ m.kf_t[kf]
-        d = m.lm_pos[lm_ids] - c
-        dist = np.linalg.norm(d, axis=1)
-        okp &= (dist >= m.lm_min_dist[lm_ids]) & (dist <= m.lm_max_dist[lm_ids])
-        cosv = np.sum(d * m.lm_normal[lm_ids], axis=1) / np.maximum(dist, 1e-9)
-        okp &= cosv > 0.5
-        if okp.sum() < 3:
-            return 0
-        # Predicted octave from the distance band (MapPoint::PredictScale).
-        ratio = np.maximum(m.lm_max_dist[lm_ids] / np.maximum(dist, 1e-9), 1.0)
-        lvl = np.clip(
-            np.ceil(np.log(ratio) / np.log(SCALE_FACTOR)), 0, N_LEVELS - 1
-        ).astype(np.int32)
-        radius = 3.0 * SCALE_FACTOR ** lvl.astype(np.float32)
-        bits = np.unpackbits(
-            m.lm_desc[lm_ids].view(np.uint8), axis=-1, bitorder="little"
-        ).astype(np.int8)
-        idx, mok = matching.search_by_projection(
-            jnp.asarray(bits), jnp.asarray(okp),
-            jnp.asarray(np.stack([u, v], 1).astype(np.float32)),
-            jnp.asarray(lvl),
-            jnp.asarray(self._kf_bits(kf)), jnp.asarray(m.kf_xy[kf]),
-            jnp.asarray(m.kf_level[kf]), jnp.asarray(m.kf_feat_valid[kf]),
-            jnp.asarray(radius),
-            max_dist=matching.TH_LOW, ratio=1.0, level_band=1,
-        )
-        idx = np.asarray(idx)
-        mok = np.asarray(mok)
-        # Reprojection chi2 gate on the matched feature (Fuse accepts a
-        # candidate only at e2 <= 5.99 sigma2 of the keypoint's octave,
-        # src/ORBmatcher.cc:1231-1260) — without this, a wide predicted
-        # window admits false merges that corrupt the map geometry.
-        uv_pred = np.stack([u, v], 1)
-        e2 = np.sum((m.kf_xy[kf][idx] - uv_pred) ** 2, axis=1)
-        sig2 = SCALE_FACTOR ** (2.0 * m.kf_level[kf][idx].astype(np.float32))
-        mok = mok & (e2 <= 5.991 * sig2)
         n_fused = 0
         for j in np.nonzero(mok)[0]:
             lm = int(lm_ids[j])
@@ -2525,14 +2821,62 @@ class Tracker:
         targets = targets[:12]
         if not targets:
             return
-        n_fused = 0
         cur_lms = m.kf_lm_idx[k]
         cur_lms = np.unique(cur_lms[cur_lms >= 0])
-        for i in targets:
-            n_fused += self._fuse_into_kf(cur_lms, int(i))
+        cur_lms = cur_lms[m.lm_valid[cur_lms]]
         fuse_lms = m.kf_lm_idx[np.asarray(targets)]
         fuse_lms = np.unique(fuse_lms[fuse_lms >= 0])
-        n_fused += self._fuse_into_kf(fuse_lms, int(k))
+        fuse_lms = fuse_lms[m.lm_valid[fuse_lms]]
+        # One batched device call: rows 0..len(targets)-1 project the new
+        # KF's landmarks into each neighbor; the last row projects the
+        # neighborhood's landmarks back into the new KF. Shapes are
+        # padded to fixed caps so the program compiles once.
+        cap = self.cfg.local_lm_cap
+        ids = np.union1d(cur_lms, fuse_lms)[:cap]
+        n_ids = len(ids)
+        if n_ids == 0:
+            return
+        T_CAP = 16
+        rows = [int(x) for x in targets] + [int(k)]
+        nT = len(rows)
+        arr = np.asarray(rows + [rows[0]] * (T_CAP - nT))
+        cur_mask = np.zeros(cap, bool)
+        cur_mask[:n_ids] = np.isin(ids, cur_lms)
+        fuse_mask = np.zeros(cap, bool)
+        fuse_mask[:n_ids] = np.isin(ids, fuse_lms)
+        tgt_mask = np.zeros((T_CAP, cap), bool)
+        tgt_mask[: nT - 1] = cur_mask
+        tgt_mask[nT - 1] = fuse_mask
+        pad = cap - n_ids
+
+        def padf(x, fill=0):
+            return np.concatenate(
+                [x, np.full((pad, *x.shape[1:]), fill, x.dtype)]
+            )
+
+        idx_b, mok_b = jax.device_get(
+            fused_fuse_batch(
+                jnp.asarray(padf(m.lm_pos[ids])),
+                jnp.asarray(padf(m.lm_normal[ids])),
+                jnp.asarray(padf(m.lm_min_dist[ids])),
+                jnp.asarray(padf(m.lm_max_dist[ids], 1.0)),
+                jnp.asarray(padf(m.lm_desc[ids])),
+                jnp.asarray(padf(m.lm_valid[ids], False)),
+                jnp.asarray(tgt_mask),
+                jnp.asarray(m.kf_R[arr]), jnp.asarray(m.kf_t[arr]),
+                jnp.asarray(m.kf_desc[arr]), jnp.asarray(m.kf_xy[arr]),
+                jnp.asarray(m.kf_level[arr]),
+                jnp.asarray(m.kf_feat_valid[arr]),
+                self.fx, self.fy, self.cx, self.cy,
+                float(self.cfg.width), float(self.cfg.height),
+            )
+        )
+        n_fused = 0
+        for j in range(nT):
+            n_fused += self._apply_fuse_matches(
+                ids, rows[j], np.asarray(idx_b[j])[:n_ids],
+                np.asarray(mok_b[j])[:n_ids],
+            )
         if n_fused:
             # Refresh descriptors/normals of everything the new KF sees
             # (UpdateConnections + UpdateNormalAndDepth after Fuse).
@@ -2724,33 +3068,34 @@ class Tracker:
             return np.concatenate([x, np.full((pad_k, *x.shape[1:]), fill, x.dtype)])
 
         prob = BAProblem(
-            R=jnp.asarray(padk(m.kf_R[kfs])),
-            t=jnp.asarray(padk(m.kf_t[kfs])),
-            kf_valid=jnp.asarray(np.concatenate([np.ones(len(kfs), bool), np.zeros(pad_k, bool)])),
-            kf_fixed=jnp.asarray(np.concatenate([kf_fixed, np.ones(pad_k, bool)])),
-            Xw=jnp.asarray(np.concatenate([m.lm_pos[lms], np.zeros((pad_l, 3), np.float32)])),
-            lm_valid=jnp.asarray(np.concatenate([np.ones(len(lms), bool), np.zeros(pad_l, bool)])),
-            obs_kf=jnp.asarray(np.concatenate([o_kf, np.zeros(pad_o)]).astype(np.int32)),
-            obs_lm=jnp.asarray(np.concatenate([o_lm, np.zeros(pad_o)]).astype(np.int32)),
-            obs_uvr=jnp.asarray(
+            R=self._mput(padk(m.kf_R[kfs])),
+            t=self._mput(padk(m.kf_t[kfs])),
+            kf_valid=self._mput(np.concatenate([np.ones(len(kfs), bool), np.zeros(pad_k, bool)])),
+            kf_fixed=self._mput(np.concatenate([kf_fixed, np.ones(pad_k, bool)])),
+            Xw=self._mput(np.concatenate([m.lm_pos[lms], np.zeros((pad_l, 3), np.float32)])),
+            lm_valid=self._mput(np.concatenate([np.ones(len(lms), bool), np.zeros(pad_l, bool)])),
+            obs_kf=self._mput(np.concatenate([o_kf, np.zeros(pad_o)]).astype(np.int32)),
+            obs_lm=self._mput(np.concatenate([o_lm, np.zeros(pad_o)]).astype(np.int32)),
+            obs_uvr=self._mput(
                 np.concatenate(
                     [np.concatenate([o_uv, o_ur[:, None]], 1),
                      np.zeros((pad_o, 3), np.float32)]
                 )
             ),
-            obs_sigma2=jnp.asarray(np.concatenate([o_sig, np.ones(pad_o, np.float32)])),
-            obs_stereo=jnp.asarray(np.concatenate([o_st, np.zeros(pad_o, bool)])),
-            obs_valid=jnp.asarray(np.concatenate([np.ones(len(o_kf), bool), np.zeros(pad_o, bool)])),
-            fx=jnp.float32(self.fx),
-            fy=jnp.float32(self.fy),
-            bf=jnp.float32(self.cfg.bf),
+            obs_sigma2=self._mput(np.concatenate([o_sig, np.ones(pad_o, np.float32)])),
+            obs_stereo=self._mput(np.concatenate([o_st, np.zeros(pad_o, bool)])),
+            obs_valid=self._mput(np.concatenate([np.ones(len(o_kf), bool), np.zeros(pad_o, bool)])),
+            fx=self._mput(np.float32(self.fx)),
+            fy=self._mput(np.float32(self.fy)),
+            bf=self._mput(np.float32(self.cfg.bf)),
         )
         from ..optim.local_ba import local_ba as run_ba
 
         res = run_ba(prob, iters=iters, gate_at=iters // 2)
-        R_new = np.asarray(res.R)[: len(kfs)]
-        t_new = np.asarray(res.t)[: len(kfs)]
-        X_new = np.asarray(res.Xw)[: len(lms)]
+        R_new, t_new, X_new = jax.device_get((res.R, res.t, res.Xw))
+        R_new = np.asarray(R_new)[: len(kfs)]
+        t_new = np.asarray(t_new)[: len(kfs)]
+        X_new = np.asarray(X_new)[: len(lms)]
         with self.map_lock:
             m.kf_R[kfs] = R_new
             m.kf_t[kfs] = t_new

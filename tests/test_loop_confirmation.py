@@ -31,7 +31,7 @@ class _FakeKFDB:
     def query(self, hist, exclude=None, n_best=3, min_score=0.0):
         return np.asarray([self.gid]), np.asarray([0.9])
 
-    def add(self, gid, bits, valid):
+    def add(self, gid, bits, valid, hist=None):
         pass
 
 
