@@ -716,6 +716,7 @@ class Tracker:
             self.loop_closer._put = self._mput
         self._seen_change_idx = 0
         self._pending_merge: tuple | None = None
+        self._dev_local: dict | None = None  # device local-map snapshot
         self.worker = None
         if cfg.async_mapping and not self.inertial:
             from .mapping_worker import MappingWorker
@@ -1628,23 +1629,35 @@ class Tracker:
                     return
         self._track_frame_slow(frame)
 
-    def _track_frame_fused(self, frame: FrameData) -> bool:
-        """One-dispatch tracking: build the local-map problem from the
-        previous frame's local keyframes (bounded-stale by one frame),
-        upload, run fused_track_stages, fetch the small result block.
-        Returns False to hand the frame to the split-phase path."""
+    def _local_map_version(self) -> tuple:
+        """Cache key for the device local-map snapshot: anything that
+        creates/moves/merges landmarks bumps one of these."""
+        m = self.map
+        return (
+            m.map_id, self.n_kf_inserted, m.big_change_idx,
+            self.worker.n_processed if self.worker is not None else 0,
+        )
+
+    def _refresh_dev_local(self) -> bool:
+        """(Re)build the device-resident local-map snapshot from the
+        previous frame's local keyframes. Between mapping events the map
+        is static, so the ~270 KB upload happens per map change, not per
+        frame (bounded-stale tracking reads, SURVEY §2.9 analog)."""
         m = self.map
         cap = self.cfg.local_lm_cap
+        ver = self._local_map_version()
+        c = self._dev_local
+        if c is not None and c["ver"] == ver:
+            return True
         with self.map_lock:
             last_bound = np.unique(self.last.lm_idx[self.last.lm_idx >= 0])
             last_bound = last_bound[m.lm_valid[last_bound]]
-            if len(last_bound) < 10:
-                return False
             local_kfs = self._local_keyframes(self.last)
             lm_ids = m.local_map_landmarks(local_kfs)
             lm_ids = np.union1d(lm_ids, last_bound)[:cap]
             n = len(lm_ids)
             if n < 30:
+                self._dev_local = None
                 return False
             pad = cap - n
 
@@ -1653,14 +1666,38 @@ class Tracker:
                     [x, np.full((pad, *x.shape[1:]), fill, x.dtype)]
                 )
 
-            pos = padf(m.lm_pos[lm_ids])
-            normal = padf(m.lm_normal[lm_ids])
-            mind = padf(m.lm_min_dist[lm_ids])
-            maxd = padf(m.lm_max_dist[lm_ids])
-            desc = padf(m.lm_desc[lm_ids])
-            lmv = padf(m.lm_valid[lm_ids], False)
+            self._dev_local = {
+                "ver": ver,
+                "ids": lm_ids,
+                "pos": jnp.asarray(padf(m.lm_pos[lm_ids])),
+                "normal": jnp.asarray(padf(m.lm_normal[lm_ids])),
+                "mind": jnp.asarray(padf(m.lm_min_dist[lm_ids])),
+                "maxd": jnp.asarray(padf(m.lm_max_dist[lm_ids], 1.0)),
+                "desc": jnp.asarray(padf(m.lm_desc[lm_ids])),
+                "valid": jnp.asarray(padf(m.lm_valid[lm_ids], False)),
+            }
+        return True
+
+    def _track_frame_fused(self, frame: FrameData) -> bool:
+        """One-dispatch tracking against the device-resident local map
+        (refreshed on map change, bounded-stale between): run
+        fused_track_stages, fetch the small result block. Returns False
+        to hand the frame to the split-phase path."""
+        m = self.map
+        cap = self.cfg.local_lm_cap
+        last_bound = np.unique(self.last.lm_idx[self.last.lm_idx >= 0])
+        last_bound = last_bound[m.lm_valid[last_bound]]
+        if len(last_bound) < 10:
+            return False
+        if not self._refresh_dev_local():
+            return False
+        c = self._dev_local
+        lm_ids = c["ids"]
+        n = len(lm_ids)
         stage1 = np.zeros(cap, bool)
         stage1[:n] = np.isin(lm_ids, last_bound)
+        if not stage1.any():
+            return False
         self._predict_pose(frame)
         fd = frame._feats_dev
         from .device_step import fused_track_stages  # lazy: import cycle
@@ -1668,8 +1705,8 @@ class Tracker:
         out = fused_track_stages(
             frame._xy_dev, fd.level, fd.desc_i8, fd.valid,
             jnp.asarray(frame.R), jnp.asarray(frame.t),
-            jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(mind),
-            jnp.asarray(maxd), jnp.asarray(desc), jnp.asarray(lmv),
+            c["pos"], c["normal"], c["mind"],
+            c["maxd"], c["desc"], c["valid"],
             jnp.asarray(stage1), jnp.int32(self.cfg.min_track_matches),
             self.fx, self.fy, self.cx, self.cy,
             float(self.cfg.width), float(self.cfg.height),
