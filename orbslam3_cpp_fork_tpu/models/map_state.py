@@ -107,6 +107,15 @@ class MapState:
         self.lm_found = np.zeros(L, np.int32)
         self.lm_first_kf = np.full(L, -1, np.int32)
         self.lm_obs_count = np.zeros(L, np.int32)
+        # Slot generations: bumped on (re)allocation so long-running
+        # background consumers (concurrent global BA) can detect a slot
+        # that was culled and recycled while they computed.
+        self.kf_gen = np.zeros(K, np.int64)
+        self.lm_gen = np.zeros(L, np.int64)
+        # Replacement forwarding (MapPoint::GetReplaced): merged-away
+        # landmark -> its survivor, so live-frame bindings can follow
+        # fusion (Tracking::CheckReplacedInLastFrame).
+        self.lm_replaced = np.full(L, -1, np.int64)
 
         # Observation incidence (covisibility source of truth).
         self.obs = np.zeros((K, L), bool)
@@ -172,6 +181,7 @@ class MapState:
         depth: np.ndarray | None = None,
     ) -> int:
         k = self.alloc_keyframe()
+        self.kf_gen[k] += 1
         self.kf_R[k] = R
         self.kf_t[k] = t
         self.kf_timestamp[k] = timestamp
@@ -366,6 +376,8 @@ class MapState:
         max_dist: np.ndarray,
     ) -> np.ndarray:
         ids = self.alloc_landmarks(len(pos))
+        self.lm_gen[ids] += 1
+        self.lm_replaced[ids] = -1  # recycled slot: clear forwarding
         self.lm_pos[ids] = pos
         self.lm_desc[ids] = desc_packed
         self.lm_desc_i8[ids] = desc_i8
@@ -417,9 +429,22 @@ class MapState:
         self.obs[:, old] = False
         self.lm_valid[old] = False
         self.lm_obs_count[old] = 0
+        self.lm_replaced[old] = new
         self.mark_obs_dirty()  # direct obs writes bypass the native mirror
         self.lm_found[new] += self.lm_found[old]
         self.lm_visible[new] += self.lm_visible[old]
+
+    def resolve_replaced(self, ids: np.ndarray) -> np.ndarray:
+        """Follow replacement forwarding (bounded chain walk); returns
+        the surviving landmark for each id, or the id itself."""
+        ids = np.asarray(ids).copy()
+        for _ in range(4):
+            rep = self.lm_replaced[ids]
+            hit = rep >= 0
+            if not hit.any():
+                break
+            ids = np.where(hit, rep, ids)
+        return ids
 
     def add_observation(self, k: int, feat_idx: np.ndarray, lm_ids: np.ndarray):
         """Bind features of KF k to landmarks (MapPoint::AddObservation +

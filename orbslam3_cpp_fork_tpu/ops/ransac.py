@@ -300,14 +300,17 @@ def pnp_ransac(
     key: jax.Array,
     n_hyp: int = 128,
     px_threshold: float = 5.99,
+    sigma2: jax.Array | None = None,
 ):
     """RANSAC PnP: world points (N,3) vs undistorted pixels (N,2).
 
     Returns (R, t, inliers, n_inliers, success). Pixel threshold is on
-    squared reprojection error / sigma^2 with sigma=1 (reference uses
-    per-level sigma; refinement handles the rest).
+    squared reprojection error / sigma^2, with `sigma2` (N,) the
+    per-observation octave variance (defaults to 1).
     """
     n = Xw.shape[0]
+    if sigma2 is None:
+        sigma2 = jnp.ones(n, Xw.dtype)
     Kinv = jnp.linalg.inv(K)
     uvh = jnp.concatenate([uv, jnp.ones_like(uv[:, :1])], axis=-1)
     xn = (uvh @ Kinv.T)[:, :2]
@@ -319,7 +322,7 @@ def pnp_ransac(
         Xc = (R @ Xw.T).T + t
         uv_p = (K @ (Xc / jnp.maximum(Xc[:, 2:3], 1e-9)).T).T[:, :2]
         e = jnp.sum((uv_p - uv) ** 2, axis=-1)
-        inl = valid & (Xc[:, 2] > 0) & (e < px_threshold)
+        inl = valid & (Xc[:, 2] > 0) & (e < px_threshold * sigma2)
         return jnp.sum(inl.astype(jnp.int32)), inl
 
     n_inl, inl = jax.vmap(score)(R_h, t_h)
@@ -494,6 +497,7 @@ def mlpnp_ransac(
     n_hyp: int = 128,
     px_threshold: float = 5.99,
     gn_iters: int = 4,
+    sigma2: jax.Array | None = None,
 ):
     """Maximum-likelihood PnP RANSAC (MLPnPsolver::iterate,
     src/MLPnPsolver.cpp:105): world points (N,3) vs ideal-pinhole
@@ -501,10 +505,15 @@ def mlpnp_ransac(
     the nullspace formulation in one vmap, the winner's pose is
     Gauss-Newton-refined on its inliers, and scoring is the reference's
     pixel reprojection + cheirality check (CheckInliers,
-    src/MLPnPsolver.cpp:307-340).
+    src/MLPnPsolver.cpp:307-340). `sigma2` (N,) scales the squared-pixel
+    gate per observation octave (mvMaxError[i] = mvSigma2[i]*th2,
+    src/MLPnPsolver.cpp:263-289) so coarse-pyramid keypoints are not
+    systematically rejected.
 
     Returns (R, t, inliers, n_inliers, success).
     """
+    if sigma2 is None:
+        sigma2 = jnp.ones(Xw.shape[0], Xw.dtype)
     Kinv = jnp.linalg.inv(K)
     uvh = jnp.concatenate([uv, jnp.ones_like(uv[:, :1])], axis=-1)
     bear = uvh @ Kinv.T
@@ -521,7 +530,7 @@ def mlpnp_ransac(
         Xc = (R @ Xw.T).T + t
         uv_p = (K @ (Xc / jnp.maximum(Xc[:, 2:3], 1e-9)).T).T[:, :2]
         e = jnp.sum((uv_p - uv) ** 2, axis=-1)
-        inl = valid & (Xc[:, 2] > 0) & (e < px_threshold)
+        inl = valid & (Xc[:, 2] > 0) & (e < px_threshold * sigma2)
         return jnp.sum(inl.astype(jnp.int32)), inl
 
     n_inl, inl = jax.vmap(score)(R_h, t_h)

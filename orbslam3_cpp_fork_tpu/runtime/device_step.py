@@ -72,34 +72,20 @@ def fused_track_step(
     return feats, res.R, res.t, idx, mok, res.inliers, res.n_inliers
 
 
-@jax.jit
-def fused_track_stages(
-    xy_ud: jax.Array,  # (N,2) undistorted keypoints (device)
-    f_level: jax.Array,  # (N,)
-    f_desc_i8: jax.Array,  # (N,256)
-    f_valid: jax.Array,  # (N,)
-    R_pred: jax.Array,
-    t_pred: jax.Array,
-    lm_pos: jax.Array,  # (L,3) local-map landmarks (padded)
-    lm_normal: jax.Array,
-    lm_min_dist: jax.Array,
-    lm_max_dist: jax.Array,
-    lm_desc: jax.Array,  # (L,8) uint32 packed descriptors
-    lm_valid: jax.Array,
-    stage1_mask: jax.Array,  # (L,) last-frame-visible landmark subset
-    min_stage1: jax.Array,  # scalar: wide-window retry threshold
+def _track_stages_core(
+    xy_ud, f_level, f_desc_i8, f_valid,
+    R_pred, t_pred,
+    lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_desc, lm_valid,
+    stage1_mask, min_stage1,
     fx, fy, cx, cy, width, height,
+    pose_iters: int = 10,
 ):
-    """The runtime's per-frame matching + optimization hot path as ONE
-    program: motion-model matching vs the last frame's landmarks
-    (radius 15, wide 30 retry: Tracking::TrackWithMotionModel
-    src/Tracking.cc:2719) -> pose opt -> local-map matching (radius 6:
+    """Shared body of the per-frame matching + optimization hot path:
+    motion-model matching vs the last frame's landmarks (radius 15, wide
+    30 retry: Tracking::TrackWithMotionModel src/Tracking.cc:2719) ->
+    pose opt -> local-map matching (radius 6:
     Tracking::TrackLocalMap/SearchLocalPoints src/Tracking.cc:3186) ->
-    pose opt. Fed by the (separately dispatched, still device-resident)
-    extraction output. On a tunneled accelerator every synchronous
-    dispatch costs ~25 ms, so the split-phase host path runs at ~2 fps
-    while this path needs one image upload in and one small result
-    fetch out per frame.
+    pose opt.
 
     Returns (R, t, lm_to_feat, bound_mask, inlier_mask, n_inliers,
     n_stage1, visible_mask).
@@ -133,7 +119,7 @@ def fused_track_stages(
         )
         return pose_opt.pose_optimization(
             R0, t0, lm_pos, uv_obs, sigma2, mask, fx, fy,
-            rounds=4, iters=10,
+            rounds=4, iters=pose_iters,
         )
 
     # --- Stage 1: motion-model tracking vs last-frame landmarks.
@@ -153,9 +139,13 @@ def fused_track_stages(
 
     # --- Stage 2: local-map tracking from the refined pose.
     keep1 = mok1 & res1.inliers
-    feat_bound = jnp.zeros(f_valid.shape, bool).at[idx1].set(
-        keep1, mode="drop"
-    )
+    # Scatter only kept entries (idx1 holds an argmin index for EVERY
+    # landmark row, matched or not; .at[].set with duplicate indices has
+    # unspecified order, so an unmatched row could clear a kept one).
+    N = f_valid.shape[0]
+    feat_bound = jnp.zeros(N + 1, bool).at[
+        jnp.where(keep1, idx1, N)
+    ].set(True, mode="drop")[:N]
     uv2, lvl2, _, ok_p2 = project_landmarks(
         res1.R, res1.t, lm_pos, lm_normal, lm_min_dist, lm_max_dist,
         lm_valid, fx, fy, cx, cy, width, height,
@@ -170,6 +160,97 @@ def fused_track_stages(
     return (
         res2.R, res2.t, idx_m, mok_m, res2.inliers,
         res2.n_inliers, n_stage1, visible,
+    )
+
+
+fused_track_stages = jax.jit(_track_stages_core)
+
+
+@partial(jax.jit, static_argnames=("orb_params",))
+def fused_frame_program(
+    img_u8: jax.Array,  # (H,W) uint8 raw camera frame
+    cam,  # ops.camera.Camera pytree (static kind)
+    R_pred: jax.Array,  # (3,3) predicted Tcw for THIS frame
+    t_pred: jax.Array,
+    R_prev: jax.Array,  # optimized pose of the PREVIOUS frame
+    t_prev: jax.Array,  # (velocity base for the next prediction)
+    lm_pos: jax.Array,  # (L,3) local-map snapshot (padded)
+    lm_normal: jax.Array,
+    lm_min_dist: jax.Array,
+    lm_max_dist: jax.Array,
+    lm_desc: jax.Array,  # (L,8) uint32 packed descriptors
+    lm_valid: jax.Array,
+    prev_bound: jax.Array,  # (L,) bool: prev frame's bound mask (its slots)
+    remap: jax.Array,  # (L,) int32: this snapshot's slot -> prev slot (-1 none)
+    min_stage1,  # scalar: wide-window retry threshold
+    min_ok,  # scalar: inlier gate below which the pose falls back to pred
+    fx, fy, cx, cy, width, height,
+    orb_params: orb.OrbParams = orb.OrbParams(),
+):
+    """The WHOLE per-frame tracking step as one chained device program:
+    raw image in -> ORB extraction -> undistortion -> two-stage
+    match/pose-opt -> next-frame constant-velocity prediction.
+
+    Designed for software-pipelined tracking (runtime pipeline lag k):
+    `R_pred/t_pred/R_prev/t_prev/prev_bound` are normally the DEVICE
+    HANDLES of the previous call's outputs, so consecutive frames chain
+    on-device with no host round-trip in the prediction loop; the host
+    fetches the small result block k frames late via copy_to_host_async
+    (a tunneled TPU pays ~25 ms per synchronous fetch; chained dispatch
+    costs ~0.3 ms). The constant-velocity motion model
+    (Tracking::TrackWithMotionModel src/Tracking.cc:2719) runs INSIDE
+    the program; on tracking failure (n_inliers < min_ok) the program
+    keeps the predicted pose — dead-reckoning through short dropouts
+    exactly like the reference's RECENTLY_LOST prediction — and the
+    host intervenes when it observes the failure at retirement.
+
+    `remap` re-indexes the previous frame's bound mask when the host
+    swapped in a new local-map snapshot between the two dispatches
+    (slot j of this snapshot was slot remap[j] of the previous one).
+    """
+    from ..ops.camera import undistort_points
+
+    feats = orb.extract_orb(img_u8.astype(jnp.float32), orb_params)
+    xy_ud = undistort_points(cam, feats.xy)
+
+    # Previous bound mask carried through the snapshot swap (identity
+    # remap when no swap happened).
+    L = lm_valid.shape[0]
+    mapped = jnp.where(remap >= 0, remap, L)
+    pb = jnp.concatenate([prev_bound, jnp.zeros((1,), bool)])[mapped]
+    stage1 = pb & lm_valid
+    # After a swap/recovery with no carried bindings, fall back to the
+    # whole local map as stage-1 candidates (wide acquisition).
+    stage1 = jnp.where(jnp.any(stage1), stage1, lm_valid)
+
+    (R, t, idx_m, mok_m, inl, n_in, n_stage1, visible) = _track_stages_core(
+        xy_ud, feats.level, feats.desc_i8, feats.valid,
+        R_pred, t_pred,
+        lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_desc, lm_valid,
+        stage1, min_stage1,
+        fx, fy, cx, cy, width, height,
+    )
+
+    ok = n_in >= min_ok
+    R_out = jnp.where(ok, R, R_pred)
+    t_out = jnp.where(ok, t, t_pred)
+    bound_out = mok_m & inl & ok
+
+    # Constant-velocity prediction for the next frame:
+    # V = T_out o T_prev^-1 ; T_pred_next = V o T_out.
+    Rv = R_out @ R_prev.T
+    tv = t_out - Rv @ t_prev
+    R_pred_next = Rv @ R_out
+    t_pred_next = Rv @ t_out + tv
+
+    return dict(
+        R=R_out, t=t_out,
+        R_pred_next=R_pred_next, t_pred_next=t_pred_next,
+        idx=idx_m, bound=bound_out, visible=visible,
+        n_inliers=n_in, n_stage1=n_stage1, ok=ok,
+        f_xy=xy_ud, f_level=feats.level, f_angle=feats.angle,
+        f_desc=feats.desc, f_valid=feats.valid,
+        f_desc_i8=feats.desc_i8, f_score=feats.score,
     )
 
 

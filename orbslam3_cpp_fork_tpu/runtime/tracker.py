@@ -167,6 +167,25 @@ class TrackerConfig:
     # mapping step synchronously (the IMU ladder rewrites live tracking
     # state). Set False for bit-deterministic runs (regression tests).
     async_mapping: bool = True
+    # Software-pipelined tracking: per-frame device programs chain
+    # on-device (pose prediction + bound-landmark carry are device
+    # handles of the previous program), and the host retires results
+    # `pipeline_lag` frames late via async host copies — zero
+    # synchronous device round-trips per steady-state frame. With a
+    # ~25 ms tunneled-TPU RTT this is the difference between ~10 and
+    # 25+ fps e2e. None resolves to 2 when async_mapping else 0
+    # (deterministic regression runs keep frame-synchronous returns).
+    pipeline_lag: int | None = None
+    # Pipelining trades result latency for map staleness, which is only
+    # safe when tracking is comfortable: the tracker pipelines while
+    # inliers stay above pipeline_enter_inliers (with an established
+    # map) and falls back to frame-synchronous tracking — immediate
+    # keyframe decisions, fresh local map — whenever the latest count
+    # drops below pipeline_exit_inliers. Young maps (few keyframes,
+    # fast landmark turnover) always track synchronously.
+    pipeline_enter_inliers: int = 60
+    pipeline_exit_inliers: int = 45
+    pipeline_min_kfs: int = 8
     # Matching / tracking thresholds (reference values).
     init_min_matches: int = 100  # MonocularInitialization (src/Tracking.cc:2341)
     min_track_matches: int = 20
@@ -506,9 +525,10 @@ class FrameData:
     def __init__(self, frame_id, timestamp, xy=None, level=None, angle=None,
                  desc=None, desc_i8=None, valid=None, R=None, t=None,
                  lm_idx=None, ur=None, depth=None, feats_dev=None,
-                 xy_dev=None):
+                 xy_dev=None, img_u8=None):
         self.frame_id = frame_id
         self.timestamp = timestamp
+        self.img_u8 = img_u8  # raw frame; kept until features exist
         self._xy = xy
         self._level = level
         self._angle = angle
@@ -724,6 +744,28 @@ class Tracker:
             self.worker = MappingWorker(self)
         self.n_kf_skipped_backpressure = 0
 
+        # Software-pipelined tracking state (see device_step.py
+        # fused_frame_program). `_pipe` holds in-flight dispatched
+        # frames; `_chain` the newest program's device output handles.
+        self.pipeline_lag = (
+            cfg.pipeline_lag
+            if cfg.pipeline_lag is not None
+            else (2 if cfg.async_mapping else 0)
+        )
+        import collections
+
+        self._pipe: collections.deque = collections.deque()
+        self._chain: dict | None = None
+        self._last_retired_T: np.ndarray | None = None
+        self._identity_remap = None  # cached (cap,) arange device array
+        self._snap_seq = 0  # bumped on every _dev_local swap
+        self.n_frames_dropped = 0  # in-flight frames discarded on failure
+        self.n_lost_events = 0  # OK -> RECENTLY_LOST/LOST transitions
+        self._last_n_in = 0  # latest tracked-inlier count (any path)
+        self.n_pipelined_frames = 0
+        self.n_sync_frames = 0
+        self._gba_thread: threading.Thread | None = None
+
     @property
     def map(self) -> MapState:
         return self.atlas.active
@@ -740,31 +782,36 @@ class Tracker:
         return k
 
     def _extract(self, img: np.ndarray, timestamp: float) -> FrameData:
-        """Dispatch extraction + undistortion; keep results on device.
-
-        No synchronous transfer happens here: the fused tracking path
-        consumes the device handles directly, and host copies
-        materialize lazily (one batched fetch) only on paths that need
-        them (KF insertion, initialization, relocalization, stereo)."""
+        """Build the per-frame record carrying the raw image; feature
+        extraction is deferred: the pipelined path folds it into the
+        single fused frame program, every other path dispatches it on
+        first need (`_ensure_feats`)."""
         img = np.asarray(img)
         if img.dtype != np.uint8:
             img = np.clip(img, 0, 255).astype(np.uint8)
-        with self.timers.span("orb_extract"):
-            feats = orb.extract_orb_jit(
-                _u8_to_f32(jnp.asarray(img)), self.cfg.orb
-            )
-        xy_ud = undistort_points(self.cam, feats.xy)
         n = self.cfg.orb.n_features
         fd = FrameData(
             frame_id=self.frame_id,
             timestamp=timestamp,
-            feats_dev=feats,
-            xy_dev=xy_ud,
+            img_u8=img,
             lm_idx=np.full(n, -1, np.int32),
             ur=np.full(n, -1.0, np.float32),
             depth=np.full(n, -1.0, np.float32),
         )
         return fd
+
+    def _ensure_feats(self, frame: FrameData):
+        """Dispatch extraction + undistortion for a frame that didn't go
+        through the fused frame program; keeps results on device (host
+        copies materialize lazily in one batched fetch)."""
+        if frame._feats_dev is not None or frame.img_u8 is None:
+            return
+        with self.timers.span("orb_extract"):
+            feats = orb.extract_orb_jit(
+                _u8_to_f32(jnp.asarray(frame.img_u8)), self.cfg.orb
+            )
+        frame._feats_dev = feats
+        frame._xy_dev = undistort_points(self.cam, feats.xy)
 
     # ------------------------------------------------------------------
     # IMU plumbing (Tracking::GrabImuData + PreintegrateIMU,
@@ -968,6 +1015,7 @@ class Tracker:
         if self._pending_merge is not None:
             mk, proposal = self._pending_merge
             self._pending_merge = None
+            self._drain_pipeline()
             if self.worker is not None:
                 self.worker.flush()
             if (
@@ -979,6 +1027,11 @@ class Tracker:
                     self._execute_merge(mk, self.last, *proposal)
         self._rebase_after_map_change()
         self._timestamp_guards(frame.timestamp)
+        if self.state == TrackState.OK and self._pipeline_active():
+            T = self._track_frame_pipelined(frame)
+            self.frame_id += 1
+            return T
+        self._ensure_feats(frame)
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             if self.cfg.sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR):
                 self._initialize(frame)
@@ -1015,6 +1068,10 @@ class Tracker:
         m = self.map
         if m.big_change_idx == self._seen_change_idx:
             return
+        # In-flight pipelined frames were computed against the
+        # pre-correction map: retire them before rebasing, then restart
+        # the device chain from the corrected pose.
+        self._drain_pipeline()
         self._seen_change_idx = m.big_change_idx
         if self.last is None or self.last.R is None or not self.trajectory:
             self.velocity = None
@@ -1184,10 +1241,16 @@ class Tracker:
         self.last = None
 
     def flush_mapping(self):
-        """Drain the background mapping stage (no-op when synchronous).
-        Call before reading a consistent whole-map state."""
+        """Drain the tracking pipeline, the background mapping stage and
+        any in-flight global BA. Call before reading a consistent
+        whole-map state."""
+        self._drain_pipeline()
         if self.worker is not None:
             self.worker.flush()
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=600)
+        self._gba_thread = None
 
     def _spawn_or_reset_map(self):
         """Unrecoverable loss: small maps are discarded and rebuilt
@@ -1611,12 +1674,32 @@ class Tracker:
         self.map.lm_found[frame.lm_idx[bound[inl]]] += 1
         return int(inl.sum())
 
+    def _check_replaced_in_last_frame(self):
+        """Re-point last-frame bindings at fusion survivors
+        (Tracking::CheckReplacedInLastFrame, src/Tracking.cc:2560):
+        after SearchAndFuse / SearchInNeighbors merged duplicates, the
+        previous frame may still reference merged-away landmarks —
+        without forwarding, the motion-model stage starves right after
+        every loop closure."""
+        if self.last is None or self.last.lm_idx is None:
+            return
+        m = self.map
+        idx = self.last.lm_idx
+        bound = np.nonzero(idx >= 0)[0]
+        if len(bound) == 0:
+            return
+        with self.map_lock:
+            ids = m.resolve_replaced(idx[bound])
+            idx[bound] = np.where(m.lm_valid[ids], ids, -1)
+
     def _track_frame(self, frame: FrameData):
         """Per-frame OK-state tracking. Visual monocular frames take the
         fused single-program device path (runtime/device_step.py
         fused_track_stages — one result fetch per frame); everything
         else, and any frame the fused path cannot confidently track,
         runs the split-phase path."""
+        self._check_replaced_in_last_frame()
+        self.n_sync_frames += 1
         if (
             not self.inertial
             and self.cfg.sensor == Sensor.MONOCULAR
@@ -1654,7 +1737,11 @@ class Tracker:
             last_bound = last_bound[m.lm_valid[last_bound]]
             local_kfs = self._local_keyframes(self.last)
             lm_ids = m.local_map_landmarks(local_kfs)
-            lm_ids = np.union1d(lm_ids, last_bound)[:cap]
+            # Last-frame-bound landmarks first so capacity truncation
+            # can never drop the stage-1 carry set (a sorted union would
+            # keep lowest-id landmarks instead on big maps).
+            rest = np.setdiff1d(lm_ids, last_bound)
+            lm_ids = np.concatenate([last_bound, rest])[:cap]
             n = len(lm_ids)
             if n < 30:
                 self._dev_local = None
@@ -1666,6 +1753,7 @@ class Tracker:
                     [x, np.full((pad, *x.shape[1:]), fill, x.dtype)]
                 )
 
+            self._snap_seq += 1
             self._dev_local = {
                 "ver": ver,
                 "ids": lm_ids,
@@ -1723,13 +1811,223 @@ class Tracker:
         frame.t = np.asarray(t)
         sel = np.nonzero(np.asarray(mok_m) & np.asarray(inl))[0]
         sel = sel[sel < n]
-        frame.lm_idx[:] = -1
-        frame.lm_idx[np.asarray(idx_m)[sel]] = lm_ids[sel]
         with self.map_lock:
-            m.lm_visible[lm_ids[np.asarray(vis)[:n]]] += 1
+            # Re-check liveness under the lock: landmarks culled/merged
+            # since the snapshot must not resurrect via stale bindings.
+            sel = sel[m.lm_valid[lm_ids[sel]]]
+            frame.lm_idx[:] = -1
+            frame.lm_idx[np.asarray(idx_m)[sel]] = lm_ids[sel]
+            vis_ids = lm_ids[np.asarray(vis)[:n]]
+            m.lm_visible[vis_ids[m.lm_valid[vis_ids]]] += 1
             m.lm_found[lm_ids[sel]] += 1
         self._finish_tracked_frame(frame, n_in)
         return True
+
+    # ------------------------------------------------------------------
+    # Software-pipelined tracking (zero sync round-trips per frame)
+    # ------------------------------------------------------------------
+
+    def _pipeline_active(self) -> bool:
+        if (
+            self.pipeline_lag == 0
+            or self.inertial
+            or self.cfg.sensor != Sensor.MONOCULAR
+        ):
+            return False
+        if self._pipe:
+            return True  # already engaged; retirement decides exits
+        # Engage only from comfortable tracking on an established map —
+        # the lag delays keyframe decisions and map refreshes, which a
+        # young or struggling map cannot absorb.
+        return (
+            self.map.n_keyframes() >= self.cfg.pipeline_min_kfs
+            and self._last_n_in >= self.cfg.pipeline_enter_inliers
+        )
+
+    # Result keys fetched to host every frame (small block, ~80 KB with
+    # the feature arrays; f_desc_i8 (256 KB) stays device-only).
+    _PIPE_FETCH = (
+        "R", "t", "idx", "bound", "visible", "n_inliers", "n_stage1",
+        "ok", "f_xy", "f_level", "f_angle", "f_desc", "f_valid",
+    )
+
+    def _track_frame_pipelined(self, frame: FrameData) -> np.ndarray | None:
+        """Dispatch this frame's fused program chained to the previous
+        one; retire the result that is `pipeline_lag` frames old. The
+        per-frame host cost is numpy bookkeeping + async dispatch — the
+        25 ms device RTT is hidden inside the pipeline depth."""
+        from .device_step import fused_frame_program
+
+        self._check_replaced_in_last_frame()
+        if not self._refresh_dev_local():
+            # Local map too small for the device path: fall back to the
+            # synchronous ladder for this frame.
+            self._drain_pipeline()
+            self._ensure_feats(frame)
+            self._track_frame(frame)
+            if frame.R is not None:
+                self._record_trajectory(frame)
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = frame.R
+                T[:3, 3] = frame.t
+                self._last_retired_T = T
+                return T
+            return None
+        c = self._dev_local
+        ids = c["ids"]
+        cap = self.cfg.local_lm_cap
+        if self._identity_remap is None:
+            self._identity_remap = jnp.arange(cap, dtype=jnp.int32)
+
+        if self._chain is None:
+            # (Re)start: host-side prediction from the last retired frame.
+            self._predict_pose(frame)
+            R_pred = jnp.asarray(frame.R)
+            t_pred = jnp.asarray(frame.t)
+            R_prev = jnp.asarray(self.last.R)
+            t_prev = jnp.asarray(self.last.t)
+            pb = np.zeros(cap, bool)
+            last_bound = self.last.lm_idx[self.last.lm_idx >= 0]
+            pb[: len(ids)] = np.isin(ids, last_bound)
+            prev_bound = jnp.asarray(pb)
+            remap = self._identity_remap
+        else:
+            ch = self._chain
+            R_pred, t_pred = ch["pred"]
+            R_prev, t_prev = ch["R"], ch["t"]
+            prev_bound = ch["bound"]
+            if ch["snap_seq"] != self._snap_seq:
+                # Snapshot swapped since the previous dispatch: carry the
+                # bound mask across via new-slot -> old-slot indices.
+                old_ids = ch["ids"]
+                order = np.argsort(old_ids, kind="stable")
+                pos = np.searchsorted(old_ids, ids, sorter=order)
+                pos = np.clip(pos, 0, len(old_ids) - 1)
+                old_slot = order[pos].astype(np.int32)
+                hit = old_ids[old_slot] == ids
+                rm = np.full(cap, -1, np.int32)
+                rm[: len(ids)] = np.where(hit, old_slot, -1)
+                remap = jnp.asarray(rm)
+            else:
+                remap = self._identity_remap
+
+        out = fused_frame_program(
+            jnp.asarray(frame.img_u8), self.cam,
+            R_pred, t_pred, R_prev, t_prev,
+            c["pos"], c["normal"], c["mind"], c["maxd"],
+            c["desc"], c["valid"],
+            prev_bound, remap,
+            jnp.int32(self.cfg.min_track_matches),
+            jnp.int32(self.cfg.min_localmap_inliers),
+            self.fx, self.fy, self.cx, self.cy,
+            float(self.cfg.width), float(self.cfg.height),
+            orb_params=self.cfg.orb,
+        )
+        for k in self._PIPE_FETCH:
+            out[k].copy_to_host_async()
+        self._chain = dict(
+            R=out["R"], t=out["t"],
+            pred=(out["R_pred_next"], out["t_pred_next"]),
+            bound=out["bound"], ids=ids, snap_seq=self._snap_seq,
+        )
+        self._pipe.append((frame, out, ids))
+        self.n_pipelined_frames += 1
+        frame.img_u8 = None  # upload done; free host memory
+        if len(self._pipe) > self.pipeline_lag:
+            self._retire_oldest()
+            if (
+                self.state == TrackState.OK
+                and self._last_n_in < self.cfg.pipeline_exit_inliers
+            ):
+                # Tracking is getting uncomfortable: finish the
+                # in-flight frames and drop to frame-synchronous
+                # tracking until inliers recover (hysteresis).
+                self._drain_pipeline()
+        return self._last_retired_T
+
+    def _retire_oldest(self):
+        """Fetch + apply the oldest in-flight frame's results: bindings,
+        landmark stats, state machine, keyframe policy, trajectory. By
+        retirement time the async host copies have landed, so the
+        np.asarray calls below do not round-trip."""
+        frame, out, ids = self._pipe.popleft()
+        r = {k: np.asarray(out[k]) for k in self._PIPE_FETCH}
+        n = len(ids)
+        n_in = int(r["n_inliers"])
+
+        # Fill the frame's host feature arrays from the async copies
+        # (KF insertion and any fallback path below never re-fetch).
+        frame._xy = r["f_xy"]
+        frame._level = r["f_level"]
+        frame._angle = r["f_angle"]
+        frame._desc = r["f_desc"]
+        frame._valid = r["f_valid"]
+        from ..ops.orb import Features
+
+        frame._feats_dev = Features(
+            xy=out["f_xy"], level=out["f_level"], angle=out["f_angle"],
+            score=out["f_score"], desc=out["f_desc"],
+            desc_i8=out["f_desc_i8"], valid=out["f_valid"],
+        )
+        frame._xy_dev = out["f_xy"]
+
+        if not bool(r["ok"]) or n_in < self.cfg.min_localmap_inliers:
+            # Tracking failed `pipeline_lag` frames ago: everything in
+            # flight was predicted from a failing chain — drop it, then
+            # retry THIS frame through the synchronous ladder
+            # (reference-KF matching + wide local-map search) exactly as
+            # the frame-synchronous path does before declaring a loss.
+            dropped = len(self._pipe)
+            self.n_frames_dropped += dropped
+            for f_drop, _, _ in self._pipe:
+                f_drop.img_u8 = None
+            self._pipe.clear()
+            self._chain = None
+            log.warning(
+                "pipelined tracking failed at frame %d (%d inliers); "
+                "dropping %d in-flight frames, retrying synchronously",
+                frame.frame_id, n_in, dropped,
+            )
+            frame.lm_idx[:] = -1
+            self._track_frame_slow(frame)
+            if self.state == TrackState.OK and frame.R is not None:
+                self._record_trajectory(frame)
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = frame.R
+                T[:3, 3] = frame.t
+                self._last_retired_T = T
+            return
+
+        frame.R = r["R"]
+        frame.t = r["t"]
+        sel = r["bound"][:n]
+        vis = r["visible"][:n]
+        idx = r["idx"][:n]
+        m = self.map
+        with self.map_lock:
+            # Re-check liveness under the lock: landmarks culled/merged
+            # since this frame's snapshot must not resurrect.
+            alive = m.lm_valid[ids]
+            sel = sel & alive
+            m.lm_visible[ids[vis & alive]] += 1
+            m.lm_found[ids[sel]] += 1
+            frame.lm_idx[:] = -1
+            frame.lm_idx[idx[sel]] = ids[sel]
+        self._finish_tracked_frame(frame, n_in)
+        if self.state == TrackState.OK:
+            self._record_trajectory(frame)
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = frame.R
+            T[:3, 3] = frame.t
+            self._last_retired_T = T
+
+    def _drain_pipeline(self):
+        """Retire every in-flight frame (pipeline barrier). Called
+        before anything that reads or rewrites live tracking state:
+        merges, map rebases, resets, trajectory export, shutdown."""
+        while self._pipe:
+            self._retire_oldest()
+        self._chain = None
 
     def _track_frame_slow(self, frame: FrameData):
         if self.inertial:
@@ -1805,6 +2103,7 @@ class Tracker:
         paths: motion model update, keyframe policy, last-frame state."""
         m = self.map
         self.state = TrackState.OK
+        self._last_n_in = n_in
         # Motion model: velocity = Tcw_cur * Twc_last.
         Rl_inv, tl_inv = np.asarray(self.last.R).T, -np.asarray(self.last.R).T @ self.last.t
         self.velocity = (
@@ -1905,9 +2204,16 @@ class Tracker:
             Xw = np.concatenate([m.lm_pos[ref_lm[sel]], np.zeros((pad, 3), np.float32)])
             uv = np.concatenate([frame.xy[idx_np[sel]], np.zeros((pad, 2), np.float32)])
             valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+            # Per-octave inlier gate (mvMaxError = mvSigma2 * th2,
+            # src/MLPnPsolver.cpp:263-289).
+            sig2 = np.concatenate([
+                self._feat_sigma2(frame.level[idx_np[sel]]),
+                np.ones(pad, np.float32),
+            ])
             R, t, inl, n_inl, ok_pnp = ransac.mlpnp_ransac(
                 jnp.asarray(Xw), jnp.asarray(uv.astype(np.float32)),
                 jnp.asarray(valid), jnp.asarray(self.K), self._next_key(),
+                sigma2=jnp.asarray(sig2),
             )
             if not bool(ok_pnp):
                 continue
@@ -1966,6 +2272,7 @@ class Tracker:
         imu_ready = self.inertial and self.map.imu_stage >= 1
         frame.lm_idx[:] = -1
         self.velocity = None
+        self.n_lost_events += 1
         if n_kf > 10 or imu_ready:
             log.warning(
                 "tracking RECENTLY_LOST at frame %d (%d KFs)",
@@ -2869,7 +3176,10 @@ class Tracker:
         # neighborhood's landmarks back into the new KF. Shapes are
         # padded to fixed caps so the program compiles once.
         cap = self.cfg.local_lm_cap
-        ids = np.union1d(cur_lms, fuse_lms)[:cap]
+        # New-KF landmarks first so capacity truncation drops fusion
+        # *candidates*, not the landmarks being fused (a sorted union
+        # would bias which duplicates ever get merged on big maps).
+        ids = np.concatenate([cur_lms, np.setdiff1d(fuse_lms, cur_lms)])[:cap]
         n_ids = len(ids)
         if n_ids == 0:
             return
@@ -3144,115 +3454,234 @@ class Tracker:
 
     def _global_ba(self, fix: list[int] | None = None, iters: int | None = None):
         """Whole-map visual BA (Optimizer::GlobalBundleAdjustemnt,
-        src/Optimizer.cc:46-377) via the sparse PCG-Schur solver. The
+        src/Optimizer.cc:46-377) via the sparse PCG-Schur solver, run
+        synchronously on the calling thread."""
+        snap = self._gba_gather(fix)
+        if snap is None:
+            return
+        res = self._gba_solve(snap, iters, background=False)
+        self._gba_apply(snap, *res)
+
+    def _gba_gather(self, fix: list[int] | None = None):
+        """Snapshot the whole-map BA problem under the map lock. The
         problem IS the map's SoA arrays: keyframe/landmark slots map 1:1
-        to problem slots, so only the observation table is gathered."""
+        to problem slots, so only the observation table is gathered.
+        Slot generations are recorded so a background solve can detect
+        slots culled-and-recycled while it computed."""
+        m = self.map
+        cfg = self.cfg
+        with self.map_lock:
+            if m.n_keyframes() < 3 or m.n_landmarks() < 32:
+                return None
+            kf_fixed = ~m.kf_valid.copy()
+            if fix:
+                kf_fixed[list(fix)] = True
+            else:
+                # Gauge: the map-origin keyframe (the reference fixes
+                # pMap->GetInitKFid()).
+                valid_ids = np.nonzero(m.kf_valid)[0]
+                origin = int(valid_ids[np.argmin(m.kf_frame_id[valid_ids])])
+                kf_fixed[origin] = True
+
+            ks, fs = np.nonzero(
+                m.kf_valid[:, None] & m.kf_feat_valid & (m.kf_lm_idx >= 0)
+            )
+            o_lm = m.kf_lm_idx[ks, fs]
+            keep = m.lm_valid[o_lm]
+            ks, fs, o_lm = ks[keep], fs[keep], o_lm[keep]
+            n_obs = len(ks)
+            if n_obs < 64:
+                return None
+            if n_obs > cfg.gba_obs_cap:
+                log.warning(
+                    "global BA: subsampling %d observations to cap %d",
+                    n_obs, cfg.gba_obs_cap,
+                )
+                keep = np.random.default_rng(0).permutation(n_obs)[: cfg.gba_obs_cap]
+                ks, fs, o_lm = ks[keep], fs[keep], o_lm[keep]
+                n_obs = len(ks)
+            return dict(
+                map=m,
+                kf_R=m.kf_R.copy(), kf_t=m.kf_t.copy(),
+                kf_valid=m.kf_valid.copy(), kf_fixed=kf_fixed,
+                kf_gen=m.kf_gen.copy(),
+                Xw=m.lm_pos.copy(), lm_valid=m.lm_valid.copy(),
+                lm_gen=m.lm_gen.copy(),
+                ks=ks, fs=fs, o_lm=o_lm, n_obs=n_obs,
+                o_uv=(m.kf_xy[ks, fs] - [self.cx, self.cy]).astype(np.float32),
+                o_sig=self._feat_sigma2(m.kf_level[ks, fs]),
+                o_ur=(m.kf_ur[ks, fs] - self.cx).astype(np.float32),
+                o_st=m.kf_ur[ks, fs] >= 0,
+            )
+
+    def _gba_solve(self, snap: dict, iters: int | None, background: bool):
+        """Solve the snapshotted problem. Foreground solves may shard
+        over a device mesh (parallel/dist_ba.py); background solves are
+        placed through `_mput` so a tunneled accelerator's FIFO stream
+        never stalls live tracking behind a whole-map program."""
         from ..optim.local_ba import BAProblem
         from ..optim.sparse_ba import sparse_ba
 
-        m = self.map
         cfg = self.cfg
         iters = cfg.gba_iters if iters is None else iters
-        if m.n_keyframes() < 3 or m.n_landmarks() < 32:
-            return
-
-        kf_fixed = ~m.kf_valid.copy()
-        if fix:
-            kf_fixed[list(fix)] = True
-        else:
-            # Gauge: the map-origin keyframe (the reference fixes
-            # pMap->GetInitKFid()).
-            valid_ids = np.nonzero(m.kf_valid)[0]
-            origin = int(valid_ids[np.argmin(m.kf_frame_id[valid_ids])])
-            kf_fixed[origin] = True
-
-        ks, fs = np.nonzero(
-            m.kf_valid[:, None] & m.kf_feat_valid & (m.kf_lm_idx >= 0)
-        )
-        o_lm = m.kf_lm_idx[ks, fs]
-        keep = m.lm_valid[o_lm]
-        ks, fs, o_lm = ks[keep], fs[keep], o_lm[keep]
-        n_obs = len(ks)
-        if n_obs < 64:
-            return
-        if n_obs > cfg.gba_obs_cap:
-            log.warning(
-                "global BA: subsampling %d observations to cap %d",
-                n_obs, cfg.gba_obs_cap,
-            )
-            keep = np.random.default_rng(0).permutation(n_obs)[: cfg.gba_obs_cap]
-            ks, fs, o_lm = ks[keep], fs[keep], o_lm[keep]
-            n_obs = len(ks)
+        n_obs = snap["n_obs"]
         O_n = min(
             -(-n_obs // cfg.gba_obs_bucket) * cfg.gba_obs_bucket, cfg.gba_obs_cap
         )
         pad_o = O_n - n_obs
 
-        o_uv = (m.kf_xy[ks, fs] - [self.cx, self.cy]).astype(np.float32)
-        o_sig = self._feat_sigma2(m.kf_level[ks, fs])
-        o_ur = (m.kf_ur[ks, fs] - self.cx).astype(np.float32)
-        o_st = m.kf_ur[ks, fs] >= 0
-
         def pado(x, fill=0):
             return np.concatenate([x, np.full((pad_o, *x.shape[1:]), fill, x.dtype)])
 
+        put = self._mput if background else jnp.asarray
         prob = BAProblem(
-            R=jnp.asarray(m.kf_R),
-            t=jnp.asarray(m.kf_t),
-            kf_valid=jnp.asarray(m.kf_valid),
-            kf_fixed=jnp.asarray(kf_fixed),
-            Xw=jnp.asarray(m.lm_pos),
-            lm_valid=jnp.asarray(m.lm_valid),
-            obs_kf=jnp.asarray(pado(ks.astype(np.int32))),
-            obs_lm=jnp.asarray(pado(o_lm.astype(np.int32))),
-            obs_uvr=jnp.asarray(
-                pado(np.concatenate([o_uv, o_ur[:, None]], 1))
+            R=put(snap["kf_R"]),
+            t=put(snap["kf_t"]),
+            kf_valid=put(snap["kf_valid"]),
+            kf_fixed=put(snap["kf_fixed"]),
+            Xw=put(snap["Xw"]),
+            lm_valid=put(snap["lm_valid"]),
+            obs_kf=put(pado(snap["ks"].astype(np.int32))),
+            obs_lm=put(pado(snap["o_lm"].astype(np.int32))),
+            obs_uvr=put(
+                pado(np.concatenate([snap["o_uv"], snap["o_ur"][:, None]], 1))
             ),
-            obs_sigma2=jnp.asarray(pado(o_sig.astype(np.float32), 1.0)),
-            obs_stereo=jnp.asarray(pado(o_st)),
-            obs_valid=jnp.asarray(
+            obs_sigma2=put(pado(snap["o_sig"].astype(np.float32), 1.0)),
+            obs_stereo=put(pado(snap["o_st"])),
+            obs_valid=put(
                 np.concatenate([np.ones(n_obs, bool), np.zeros(pad_o, bool)])
             ),
-            fx=jnp.float32(self.fx),
-            fy=jnp.float32(self.fy),
-            bf=jnp.float32(cfg.bf),
+            fx=put(np.float32(self.fx)),
+            fy=put(np.float32(self.fy)),
+            bf=put(np.float32(cfg.bf)),
         )
         # Multi-chip: shard the observation set over every visible
         # device and psum the normal-equation reductions over ICI
         # (parallel/dist_ba.py). Single chip: local solve.
         from ..parallel.dist_ba import default_mesh, sparse_ba_sharded
 
-        mesh = default_mesh()
+        mesh = default_mesh() if not background else None
         if mesh is not None and O_n % mesh.devices.size == 0:
             res = sparse_ba_sharded(
                 mesh, prob, iters=iters, gate_at=max(2, iters // 2)
             )
         else:
             res = sparse_ba(prob, iters=iters, gate_at=max(2, iters // 2))
-        valid_k = m.kf_valid
-        m.kf_R[valid_k] = np.asarray(res.R)[valid_k]
-        m.kf_t[valid_k] = np.asarray(res.t)[valid_k]
-        m.lm_pos[m.lm_valid] = np.asarray(res.Xw)[m.lm_valid]
-        log.info(
-            "global BA: %d KFs, %d lms, %d obs, cost %.1f",
-            m.n_keyframes(), m.n_landmarks(), n_obs, float(res.cost),
+        R_new, t_new, X_new, cost = jax.device_get(
+            (res.R, res.t, res.Xw, res.cost)
         )
+        log.info(
+            "global BA solved: %d obs, cost %.1f", n_obs, float(cost)
+        )
+        return np.asarray(R_new), np.asarray(t_new), np.asarray(X_new)
+
+    def _gba_apply(self, snap: dict, R_new, t_new, X_new):
+        """Write the GBA result back under the map lock, propagating
+        corrections to keyframes/landmarks created while the solve ran —
+        the reference's post-GBA spanning-tree patch
+        (LoopClosing::RunGlobalBundleAdjustment,
+        src/LoopClosing.cc:2341-2541). A new keyframe is corrected
+        through its strongest still-valid snapshot covisible; a new
+        landmark rides its first observing keyframe's correction."""
+        m = snap["map"]
+        with self.map_lock:
+            if m not in self.atlas.maps:
+                return  # map was reset/merged away during the solve
+            in_snap = (
+                m.kf_valid & snap["kf_valid"] & (m.kf_gen == snap["kf_gen"])
+            )
+            in_snap_l = (
+                m.lm_valid & snap["lm_valid"] & (m.lm_gen == snap["lm_gen"])
+            )
+            new_k = np.nonzero(m.kf_valid & ~in_snap)[0]
+            new_l = np.nonzero(m.lm_valid & ~in_snap_l)[0]
+            # Old (pre-correction) poses of every live anchor candidate.
+            R_old_all = m.kf_R.copy()
+            t_old_all = m.kf_t.copy()
+            R_old_all[in_snap] = snap["kf_R"][in_snap]
+            t_old_all[in_snap] = snap["kf_t"][in_snap]
+
+            m.kf_R[in_snap] = R_new[in_snap]
+            m.kf_t[in_snap] = t_new[in_snap]
+            m.lm_pos[in_snap_l] = X_new[in_snap_l]
+
+            snap_slots = np.nonzero(in_snap)[0]
+            if len(new_k) and len(snap_slots):
+                # Anchor = snapshot KF sharing the most observations.
+                counts = (
+                    m.obs[snap_slots].astype(np.int32)
+                    @ m.obs[new_k].astype(np.int32).T
+                )  # (S, N)
+                a_for = snap_slots[np.argmax(counts, axis=0)]
+                has = counts.max(axis=0) > 0
+                for j, a, h in zip(new_k, a_for, has):
+                    if not h:
+                        continue
+                    R_rel = m.kf_R[j] @ snap["kf_R"][a].T
+                    t_rel = m.kf_t[j] - R_rel @ snap["kf_t"][a]
+                    m.kf_R[j] = (R_rel @ R_new[a]).astype(np.float32)
+                    m.kf_t[j] = (R_rel @ t_new[a] + t_rel).astype(np.float32)
+            if len(new_l):
+                # Ride the first observing KF's correction (old pose ->
+                # camera frame -> new pose); new KFs were just corrected
+                # above so use their stored old poses.
+                anchors = m.lm_first_kf[new_l]
+                ok_a = (anchors >= 0) & m.kf_valid[np.maximum(anchors, 0)]
+                for a in np.unique(anchors[ok_a]):
+                    lsel = new_l[(anchors == a) & ok_a]
+                    Ra_o, ta_o = R_old_all[a], t_old_all[a]
+                    Ra_n, ta_n = m.kf_R[a], m.kf_t[a]
+                    xc = m.lm_pos[lsel] @ Ra_o.T + ta_o
+                    m.lm_pos[lsel] = ((xc - ta_n) @ Ra_n).astype(np.float32)
+            if len(new_k) or len(new_l):
+                log.info(
+                    "global BA: propagated corrections to %d new KFs, "
+                    "%d new landmarks created during the solve",
+                    len(new_k), len(new_l),
+                )
 
     def _global_ba_after_loop(self, k: int, c: int):
         """LoopCloser hook (RunGlobalBundleAdjustment semantics,
         src/LoopClosing.cc:2306-2541): after the essential graph, run a
         whole-map BA — FullInertialBA(7) when the IMU is initialized,
-        visual GBA otherwise. Runs synchronously (nothing is 'created
-        meanwhile' to patch); the candidate-side KF anchors the gauge."""
+        visual GBA otherwise. With the background mapping pipeline the
+        visual solve runs on its OWN thread against a snapshot (the
+        reference spawns a GBA thread, src/LoopClosing.cc:1346) so the
+        mapping queue keeps draining; KFs/landmarks created meanwhile
+        are patched at apply time (`_gba_apply`)."""
         if not self.cfg.enable_global_ba:
             return
         m = self.map
-        with self.timers.span("global_ba"):
-            if self.inertial and m.imu_stage >= 1:
+        if self.inertial and m.imu_stage >= 1:
+            with self.timers.span("global_ba"):
                 self._full_inertial_ba(k, prior_g=0.0, prior_a=0.0, iters=7)
-            else:
+            m.big_change_idx += 1
+            return
+        if self.worker is None:
+            with self.timers.span("global_ba"):
                 self._global_ba(fix=[c])
-        m.big_change_idx += 1
+            m.big_change_idx += 1
+            return
+        if self._gba_thread is not None and self._gba_thread.is_alive():
+            log.warning("global BA already running; skipping new request")
+            return
+        snap = self._gba_gather(fix=[c])
+        if snap is None:
+            return
+
+        def run():
+            try:
+                with self.timers.span("global_ba"):
+                    res = self._gba_solve(snap, None, background=True)
+                    self._gba_apply(snap, *res)
+                m.big_change_idx += 1
+            except Exception:
+                log.exception("background global BA failed")
+
+        self._gba_thread = threading.Thread(
+            target=run, name="global_ba", daemon=True
+        )
+        self._gba_thread.start()
 
     # ------------------------------------------------------------------
     # Trajectory
