@@ -63,12 +63,14 @@ def _run_slam(scene, frames, async_mapping=True):
     tracker = Tracker(cfg)
     stamps = np.arange(len(frames)) * 0.05
     lat = np.zeros(len(frames))
+    t_start = time.perf_counter()
     for i, img in enumerate(frames):
         t0 = time.perf_counter()
         tracker.track(img, float(stamps[i]))
         lat[i] = time.perf_counter() - t0
-    tracker.flush_mapping()
-    return tracker, lat, stamps
+    tracker.flush_mapping()  # pipeline + mapping drain counts in e2e
+    wall = time.perf_counter() - t_start
+    return tracker, lat, stamps, wall
 
 
 def _kernel_fps(scene, frames):
@@ -136,26 +138,38 @@ def main():
     kernel_fps = _kernel_fps(scene, frames)
 
     # Warm pass: compiles every runtime program end-to-end.
-    warm_tracker, _, _ = _run_slam(scene, frames)
+    warm_tracker, _, _, _ = _run_slam(scene, frames)
     if warm_tracker.worker is not None:
         warm_tracker.worker.stop()
 
     # Timed pass on a fresh tracker with hot jit caches.
-    tracker, lat, stamps = _run_slam(scene, frames)
-    e2e_fps = len(frames) / lat.sum()
+    tracker, lat, stamps, wall = _run_slam(scene, frames)
+    e2e_fps = len(frames) / wall
     ts_est, Twc = tracker.export_trajectory()
-    gt_pos = np.stack([-(R.T @ t) for R, t in zip(Rs, ts)])
+    # circle_trajectory returns CAMERA-TO-WORLD poses: `ts` are the
+    # ground-truth camera centers directly. (The former
+    # -(R^T t) "centers" collapsed this circle to a constant point,
+    # which let the scale-optimal alignment report ATE ~0 for any
+    # trajectory — the r02 number was degenerate, not good.)
+    coverage = len(ts_est) / len(frames)
     try:
-        ate = ate_rmse(ts_est, Twc[:, :3, 3], stamps, gt_pos).rmse_scaled
+        ate = ate_rmse(ts_est, Twc[:, :3, 3], stamps, ts)
     except Exception:
-        ate = float("nan")
+        ate = None
     n_kfs = tracker.map.n_keyframes()
     n_loops = (
         tracker.loop_closer.n_loops_closed if tracker.loop_closer else 0
     )
+    # Per-stage latency decomposition (VERDICT r2 item 1).
+    stages = {
+        name: round(s["mean_ms"], 2)
+        for name, s in tracker.timers.summary().items()
+    }
     if tracker.worker is not None:
         tracker.worker.stop()
 
+    med = float(np.median(lat))
+    p99 = float(np.quantile(lat, 0.99))
     print(
         json.dumps(
             {
@@ -163,13 +177,27 @@ def main():
                 "value": round(float(e2e_fps), 2),
                 "unit": "frames/s",
                 "vs_baseline": round(float(e2e_fps) / 20.0, 3),
-                "track_ms_median": round(float(np.median(lat)) * 1e3, 2),
-                "track_ms_p99": round(float(np.quantile(lat, 0.99)) * 1e3, 2),
+                "track_ms_median": round(med * 1e3, 2),
+                "track_ms_p99": round(p99 * 1e3, 2),
+                "p99_over_median": round(p99 / max(med, 1e-9), 2),
                 "kernel_fps": round(float(kernel_fps), 2),
-                "ate_scaled_m": round(float(ate), 4),
+                "ate_scaled_m": (
+                    round(float(ate.rmse_scaled), 4) if ate else float("nan")
+                ),
+                "ate_unit_m": (
+                    round(float(ate.rmse), 4) if ate else float("nan")
+                ),
+                "ate_n_pairs": int(ate.n_pairs) if ate else 0,
+                "coverage": round(float(coverage), 3),
+                "n_lost_events": int(tracker.n_lost_events),
+                "n_frames_dropped": int(tracker.n_frames_dropped),
+                "n_maps_final": len(tracker.atlas.maps),
+                "n_pipelined_frames": int(tracker.n_pipelined_frames),
+                "n_sync_frames": int(tracker.n_sync_frames),
                 "n_keyframes": int(n_kfs),
                 "n_loops_closed": int(n_loops),
                 "n_frames": len(frames),
+                "stage_ms_mean": stages,
             }
         )
     )

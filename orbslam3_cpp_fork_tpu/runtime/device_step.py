@@ -122,12 +122,16 @@ def _track_stages_core(
             rounds=4, iters=pose_iters,
         )
 
-    # --- Stage 1: motion-model tracking vs last-frame landmarks.
+    # --- Stage 1: motion-model tracking vs last-frame landmarks. A
+    # thin carry set (the bound-mask chain can only shrink between
+    # local-map passes) falls back to the whole snapshot — wide
+    # acquisition beats optimizing a pose from a starved match set.
     uv1, lvl1, _, ok_p1 = project_landmarks(
         R_pred, t_pred, lm_pos, lm_normal, lm_min_dist, lm_max_dist,
         lm_valid, fx, fy, cx, cy, width, height,
     )
-    ok1 = ok_p1 & stage1_mask
+    thin = jnp.sum((stage1_mask & lm_valid).astype(jnp.int32)) < 20
+    ok1 = ok_p1 & jnp.where(thin, lm_valid, stage1_mask)
     idx_a, mok_a = match_pass(uv1, lvl1, ok1, f_valid, 15.0)
     n_a = jnp.sum(mok_a.astype(jnp.int32))
     idx_b, mok_b = match_pass(uv1, lvl1, ok1, f_valid, 30.0)
@@ -137,29 +141,56 @@ def _track_stages_core(
     n_stage1 = jnp.sum(mok1.astype(jnp.int32))
     res1 = pose_pass(R_pred, t_pred, idx1, mok1)
 
-    # --- Stage 2: local-map tracking from the refined pose.
-    keep1 = mok1 & res1.inliers
-    # Scatter only kept entries (idx1 holds an argmin index for EVERY
-    # landmark row, matched or not; .at[].set with duplicate indices has
-    # unspecified order, so an unmatched row could clear a kept one).
     N = f_valid.shape[0]
-    feat_bound = jnp.zeros(N + 1, bool).at[
-        jnp.where(keep1, idx1, N)
-    ].set(True, mode="drop")[:N]
-    uv2, lvl2, _, ok_p2 = project_landmarks(
-        res1.R, res1.t, lm_pos, lm_normal, lm_min_dist, lm_max_dist,
-        lm_valid, fx, fy, cx, cy, width, height,
-    )
-    ok2 = ok_p2 & ~keep1
-    idx2, mok2 = match_pass(uv2, lvl2, ok2, f_valid & ~feat_bound, 6.0)
-    idx_m = jnp.where(keep1, idx1, idx2)
-    mok_m = keep1 | mok2
-    res2 = pose_pass(res1.R, res1.t, idx_m, mok_m)
 
-    visible = ok_p1 | ok_p2
+    def bound_mask(keep, idx):
+        # Scatter only kept entries (idx holds an argmin index for
+        # EVERY landmark row, matched or not; .at[].set with duplicate
+        # indices has unspecified order, so an unmatched row could
+        # clear a kept one).
+        return jnp.zeros(N + 1, bool).at[
+            jnp.where(keep, idx, N)
+        ].set(True, mode="drop")[:N]
+
+    def local_pass(R0, t0, prev_keep, prev_idx, radius):
+        """Project the local map from (R0, t0), match unbound features,
+        merge with carried matches, re-optimize (TrackLocalMap)."""
+        fb = bound_mask(prev_keep, prev_idx)
+        uv, lvl, _, ok_p = project_landmarks(
+            R0, t0, lm_pos, lm_normal, lm_min_dist, lm_max_dist,
+            lm_valid, fx, fy, cx, cy, width, height,
+        )
+        ok_lm = ok_p & ~prev_keep
+        idx_n, mok_n = match_pass(uv, lvl, ok_lm, f_valid & ~fb, radius)
+        idx_m = jnp.where(prev_keep, prev_idx, idx_n)
+        mok_m = prev_keep | mok_n
+        res = pose_pass(R0, t0, idx_m, mok_m)
+        return res, idx_m, mok_m, ok_p
+
+    # --- Stage 2: local-map tracking from the refined pose. When
+    # stage 1 was weak its pose is noisy — widen the search so the
+    # local-map pass can still re-acquire (the reference widens th for
+    # the same reason, src/Tracking.cc:3208-3218).
+    keep1 = mok1 & res1.inliers
+    r2 = jnp.where(res1.n_inliers < 40, 12.0, 6.0)
+    res2, idx_m2, mok_m2, ok_p2 = local_pass(
+        res1.R, res1.t, keep1, idx1, r2
+    )
+
+    # --- Stage 3: one more local-map pass from the stage-2 pose. The
+    # refined pose re-projects within a tight window and recovers the
+    # matches stage 2 missed through its noisy projections — this is
+    # what keeps the per-frame inlier count from sawtoothing between
+    # mapping events.
+    keep2 = mok_m2 & res2.inliers
+    res3, idx_m3, mok_m3, ok_p3 = local_pass(
+        res2.R, res2.t, keep2, idx_m2, 4.0
+    )
+
+    visible = ok_p1 | ok_p2 | ok_p3
     return (
-        res2.R, res2.t, idx_m, mok_m, res2.inliers,
-        res2.n_inliers, n_stage1, visible,
+        res3.R, res3.t, idx_m3, mok_m3, res3.inliers,
+        res3.n_inliers, n_stage1, visible,
     )
 
 
@@ -218,10 +249,9 @@ def fused_frame_program(
     L = lm_valid.shape[0]
     mapped = jnp.where(remap >= 0, remap, L)
     pb = jnp.concatenate([prev_bound, jnp.zeros((1,), bool)])[mapped]
+    # A thin carried set (post-swap/recovery) falls back to the whole
+    # snapshot inside _track_stages_core.
     stage1 = pb & lm_valid
-    # After a swap/recovery with no carried bindings, fall back to the
-    # whole local map as stage-1 candidates (wide acquisition).
-    stage1 = jnp.where(jnp.any(stage1), stage1, lm_valid)
 
     (R, t, idx_m, mok_m, inl, n_in, n_stage1, visible) = _track_stages_core(
         xy_ud, feats.level, feats.desc_i8, feats.valid,

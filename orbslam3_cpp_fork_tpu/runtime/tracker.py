@@ -148,16 +148,15 @@ class TrackerConfig:
     stereo_init_min_features: int = 500  # StereoInitialization (:2246)
     enable_loop_closing: bool = True
     # Placement of the mapping-side solvers (triangulation, fusion,
-    # local BA, loop detection/Sim3). These are SMALL problems whose
-    # wall-clock is dominated by host<->device round-trip latency, not
-    # FLOPs — the reference runs them on spare CPU cores (the
-    # LocalMapping/LoopClosing threads) for the same reason. "auto"
-    # keeps them on the default accelerator when its measured RTT is
-    # local-attach-class (<2 ms) and pins them to the host CPU backend
-    # when the accelerator sits behind a high-latency link; "default" /
-    # "cpu" force either choice. The FLOP-heavy front-end (pyramid,
-    # FAST, BRIEF, dense Hamming matmuls, pose opt) always runs on the
-    # accelerator, as does whole-map global BA (one big program).
+    # local BA, loop detection/Sim3). "auto"/"default": the accelerator
+    # — every mapping program is millisecond-scale on the MXU, so the
+    # worker's off-critical-path fetches (~25 ms RTT each on a tunneled
+    # device) still beat the 100-170 ms the same programs cost as host
+    # CPU compute, and short programs interleave with the pipelined
+    # tracking stream without stalling it. "cpu" pins them to the host
+    # backend (useful to starve the device stream of everything but
+    # tracking). The seconds-scale background global BA is always
+    # placed off-stream on the host CPU backend.
     mapping_backend: str = "auto"
     # Pipeline: run mapping + loop closing on a background stage (the
     # reference's LocalMapping/LoopClosing threads) so per-frame track
@@ -186,6 +185,10 @@ class TrackerConfig:
     pipeline_enter_inliers: int = 60
     pipeline_exit_inliers: int = 45
     pipeline_min_kfs: int = 8
+    # Re-center the device local-map snapshot at least this often (in
+    # frames) even with no mapping event — the tracked camera walks out
+    # of a stale window (see Tracker._local_map_version).
+    snapshot_max_age_frames: int = 3
     # Matching / tracking thresholds (reference values).
     init_min_matches: int = 100  # MonocularInitialization (src/Tracking.cc:2341)
     min_track_matches: int = 20
@@ -695,23 +698,33 @@ class Tracker:
         from .loop_closing import LoopCloser, LoopConfig
 
         # Mapping-solver placement (see TrackerConfig.mapping_backend).
+        # Default: the accelerator. The mapping programs are all
+        # millisecond-scale on the MXU, so even on a high-RTT tunneled
+        # device the worker's synchronous fetches (~25 ms each, off the
+        # critical path) beat the 100-170 ms the same programs cost as
+        # host-CPU compute — and the short programs interleave with the
+        # pipelined tracking stream without stalling it. Only the
+        # background whole-map GBA (a seconds-scale program) is forced
+        # off-stream onto the host CPU backend (`_offstream_put`).
         self._map_dev = None
-        if cfg.mapping_backend == "cpu" or (
-            cfg.mapping_backend == "auto"
-            and jax.default_backend() != "cpu"
-            and measure_device_rtt() > 2.0
-        ):
+        if cfg.mapping_backend == "cpu":
             try:
                 self._map_dev = jax.devices("cpu")[0]
-                log.info(
-                    "mapping solvers pinned to host CPU backend "
-                    "(default-device RTT is high)"
-                )
+                log.info("mapping solvers pinned to host CPU backend")
             except RuntimeError:
                 self._map_dev = None
         self._mput = (
             (lambda x: jax.device_put(x, self._map_dev))
             if self._map_dev is not None
+            else jnp.asarray
+        )
+        try:
+            self._cpu_dev = jax.devices("cpu")[0]
+        except RuntimeError:
+            self._cpu_dev = None
+        self._offstream_put = (
+            (lambda x: jax.device_put(x, self._cpu_dev))
+            if self._cpu_dev is not None
             else jnp.asarray
         )
 
@@ -765,6 +778,7 @@ class Tracker:
         self.n_pipelined_frames = 0
         self.n_sync_frames = 0
         self._gba_thread: threading.Thread | None = None
+        self._kf_bits_lru: dict = {}
 
     @property
     def map(self) -> MapState:
@@ -1714,11 +1728,17 @@ class Tracker:
 
     def _local_map_version(self) -> tuple:
         """Cache key for the device local-map snapshot: anything that
-        creates/moves/merges landmarks bumps one of these."""
+        creates/moves/merges landmarks bumps one of these. The frame-id
+        bucket bounds snapshot AGE: the window is anchored at the pose
+        it was built from, and a camera rotating a few degrees per frame
+        walks out of its own snapshot well before the next mapping
+        event — stage-2 coverage (and the inlier count with it) decays
+        unless the window re-centers every few frames."""
         m = self.map
         return (
             m.map_id, self.n_kf_inserted, m.big_change_idx,
             self.worker.n_processed if self.worker is not None else 0,
+            self.frame_id // self.cfg.snapshot_max_age_frames,
         )
 
     def _refresh_dev_local(self) -> bool:
@@ -1736,6 +1756,18 @@ class Tracker:
             last_bound = np.unique(self.last.lm_idx[self.last.lm_idx >= 0])
             last_bound = last_bound[m.lm_valid[last_bound]]
             local_kfs = self._local_keyframes(self.last)
+            # K2 expansion (UpdateLocalKeyFrames, src/Tracking.cc:3374):
+            # covisible neighbors of the strongest sharers extend the
+            # window AHEAD of the motion, where the current frame has no
+            # bindings yet.
+            if len(local_kfs):
+                k2 = [local_kfs]
+                for k1 in local_kfs[:3]:
+                    neigh, _ = m.covisible_keyframes(
+                        int(k1), min_weight=15, top=5
+                    )
+                    k2.append(neigh)
+                local_kfs = np.unique(np.concatenate(k2))
             lm_ids = m.local_map_landmarks(local_kfs)
             # Last-frame-bound landmarks first so capacity truncation
             # can never drop the stage-1 carry set (a sorted union would
@@ -1812,14 +1844,15 @@ class Tracker:
         sel = np.nonzero(np.asarray(mok_m) & np.asarray(inl))[0]
         sel = sel[sel < n]
         with self.map_lock:
-            # Re-check liveness under the lock: landmarks culled/merged
-            # since the snapshot must not resurrect via stale bindings.
-            sel = sel[m.lm_valid[lm_ids[sel]]]
+            # Forward snapshot-stale (fused-away) ids to survivors;
+            # drop only truly-dead landmarks (see _retire_oldest).
+            ids_r = m.resolve_replaced(lm_ids)
+            sel = sel[m.lm_valid[ids_r[sel]]]
             frame.lm_idx[:] = -1
-            frame.lm_idx[np.asarray(idx_m)[sel]] = lm_ids[sel]
-            vis_ids = lm_ids[np.asarray(vis)[:n]]
+            frame.lm_idx[np.asarray(idx_m)[sel]] = ids_r[sel]
+            vis_ids = ids_r[np.asarray(vis)[:n]]
             m.lm_visible[vis_ids[m.lm_valid[vis_ids]]] += 1
-            m.lm_found[lm_ids[sel]] += 1
+            m.lm_found[ids_r[sel]] += 1
         self._finish_tracked_frame(frame, n_in)
         return True
 
@@ -2005,14 +2038,19 @@ class Tracker:
         idx = r["idx"][:n]
         m = self.map
         with self.map_lock:
-            # Re-check liveness under the lock: landmarks culled/merged
-            # since this frame's snapshot must not resurrect.
-            alive = m.lm_valid[ids]
+            # The snapshot is bounded-stale: landmarks fused since it
+            # was built are matched under their OLD id — forward them
+            # to their survivors (dropping them instead starves the
+            # next frame's carry set at the fusion rate, ~200/KF, and
+            # the inlier count decays with it). Truly-dead (culled)
+            # landmarks are dropped.
+            ids_r = m.resolve_replaced(ids)
+            alive = m.lm_valid[ids_r]
             sel = sel & alive
-            m.lm_visible[ids[vis & alive]] += 1
-            m.lm_found[ids[sel]] += 1
+            m.lm_visible[ids_r[vis & alive]] += 1
+            m.lm_found[ids_r[sel]] += 1
             frame.lm_idx[:] = -1
-            frame.lm_idx[idx[sel]] = ids[sel]
+            frame.lm_idx[idx[sel]] = ids_r[sel]
         self._finish_tracked_frame(frame, n_in)
         if self.state == TrackState.OK:
             self._record_trajectory(frame)
@@ -2155,6 +2193,20 @@ class Tracker:
             self.map.kf_desc[k].view(np.uint8), axis=-1, bitorder="little"
         ).astype(np.int8)
 
+    def _kf_bits_dev(self, k: int):
+        """Device-resident unpacked KF descriptors, LRU-cached: a lost
+        stretch retries the same reloc candidates every frame, and the
+        256 KB per-candidate upload dominates its cost otherwise."""
+        key = (self.map.map_id, int(k), int(self.map.kf_gen[k]))
+        hit = self._kf_bits_lru.get(key)
+        if hit is not None:
+            return hit
+        dev = jnp.asarray(self._kf_bits(k))
+        self._kf_bits_lru[key] = dev
+        if len(self._kf_bits_lru) > 16:
+            self._kf_bits_lru.pop(next(iter(self._kf_bits_lru)))
+        return dev
+
     def _relocalize(self, frame: FrameData) -> bool:
         """Relocalization against recent keyframes: descriptor matching to
         bound features -> RANSAC PnP -> pose optimization (reference
@@ -2183,15 +2235,31 @@ class Tracker:
         recency = cand[np.argsort(-m.kf_frame_id[cand])][:5]
         cand = list(dict.fromkeys(db_cand + recency.tolist()))
         cand = np.asarray([c for c in cand if m.kf_valid[c]])[:8]
+        # Phase 1: dispatch every candidate's descriptor match
+        # asynchronously (device-cached KF bits, device-resident frame
+        # features), start the host copies, then process — one RTT for
+        # the whole candidate set instead of one per candidate.
+        f_desc = (
+            frame._feats_dev.desc_i8
+            if frame._feats_dev is not None
+            else jnp.asarray(frame.desc_i8)
+        )
+        f_valid = jnp.asarray(frame.valid)
+        f_angle = jnp.asarray(frame.angle)
+        pending = []
         for k in cand:
             ref_lm = m.kf_lm_idx[k]
             idx, ok = match_bow_like(
-                jnp.asarray(self._kf_bits(k)),
+                self._kf_bits_dev(k),
                 jnp.asarray(m.kf_feat_valid[k] & (ref_lm >= 0)),
                 jnp.asarray(m.kf_angle[k]),
-                jnp.asarray(frame.desc_i8), jnp.asarray(frame.valid),
-                jnp.asarray(frame.angle),
+                f_desc, f_valid, f_angle,
             )
+            pending.append((k, ref_lm, idx, ok))
+        for _, _, idx, ok in pending:
+            idx.copy_to_host_async()
+            ok.copy_to_host_async()
+        for k, ref_lm, idx, ok in pending:
             ok_np = np.asarray(ok)
             idx_np = np.asarray(idx)
             sel = np.nonzero(ok_np & (ref_lm >= 0) & m.lm_valid[np.maximum(ref_lm, 0)])[0]
@@ -3533,7 +3601,7 @@ class Tracker:
         def pado(x, fill=0):
             return np.concatenate([x, np.full((pad_o, *x.shape[1:]), fill, x.dtype)])
 
-        put = self._mput if background else jnp.asarray
+        put = self._offstream_put if background else jnp.asarray
         prob = BAProblem(
             R=put(snap["kf_R"]),
             t=put(snap["kf_t"]),

@@ -1,0 +1,176 @@
+"""The shipping configuration: async background mapping + software-
+pipelined tracking (TrackerConfig.async_mapping=True resolves
+pipeline_lag=2). Round-2 review flagged that no test exercised this
+mode; these are its regression gates.
+
+CPU note: in these tests the tracker free-runs (no camera pacing), so
+the mapping worker shares host cores with tracking — a harsher load
+than the real deployment where tracking compute lives on the TPU. The
+scenes are therefore gentler (slower rotation) than the deterministic
+sync-mode gates; the assertions target robustness invariants (no
+permanent loss, consistent bindings, recovery), not peak accuracy.
+"""
+
+import numpy as np
+import pytest
+
+from orbslam3_cpp_fork_tpu.datasets import synthetic
+from orbslam3_cpp_fork_tpu.ops.camera import Camera
+from orbslam3_cpp_fork_tpu.ops.orb import OrbParams
+from orbslam3_cpp_fork_tpu.runtime.tracker import (
+    Tracker, TrackerConfig, TrackState,
+)
+from orbslam3_cpp_fork_tpu.utils.evaluation import ate_rmse
+
+pytestmark = pytest.mark.slow
+
+
+def _ring_setup(n_frames, total_angle, seed=7, w=376, h=240, n_feat=600):
+    scene = synthetic.make_ring_scene(
+        seed=seed, n_points=900, size_range=(5, 9), width=w, height=h
+    )
+    Rs, ts = synthetic.circle_trajectory(
+        n_frames=n_frames, radius=2.5, total_angle=total_angle
+    )
+    frames = [
+        synthetic.render_frame(scene, Rs[i], ts[i]) for i in range(n_frames)
+    ]
+    cam = Camera.pinhole(
+        scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2]
+    )
+    cfg = TrackerConfig(
+        camera=cam, width=w, height=h, orb=OrbParams(n_features=n_feat),
+        enable_loop_closing=True, async_mapping=True,
+    )
+    return scene, frames, Rs, ts, cfg
+
+
+def test_async_pipelined_ring_tracks():
+    """The pipeline must survive a gentle ring sweep: no permanent
+    tracking loss, a single Atlas map, pipelined frames actually
+    dispatched, and a sane scale-aligned ATE over >=80% coverage."""
+    n = 120
+    scene, frames, Rs, ts, cfg = _ring_setup(n, total_angle=0.8 * np.pi)
+    tr = Tracker(cfg)
+    stamps = np.arange(n) * 0.05
+    tracked = 0
+    for i, f in enumerate(frames):
+        if tr.track(f, float(stamps[i])) is not None:
+            tracked += 1
+    tr.flush_mapping()
+    assert tr.state == TrackState.OK, tr.state
+    assert tr.n_pipelined_frames > 20, (
+        tr.n_pipelined_frames, tr.n_sync_frames
+    )
+    assert len(tr.atlas.maps) == 1
+    ts_est, Twc = tr.export_trajectory()
+    coverage = len(ts_est) / n
+    assert coverage > 0.8, coverage
+    res = ate_rmse(ts_est, Twc[:, :3, 3], stamps, ts)
+    assert res.rmse_scaled < 0.15, res
+
+
+def test_pipeline_retired_bindings_are_live():
+    """Every binding a retired frame carries must point at a live (or
+    forwarded-to-live) landmark — snapshot-stale ids must not leak."""
+    n = 60
+    scene, frames, Rs, ts, cfg = _ring_setup(n, total_angle=0.4 * np.pi)
+    tr = Tracker(cfg)
+    bad = []
+    orig = Tracker._finish_tracked_frame
+
+    def spy(self, frame, n_in):
+        m = self.map
+        ids = frame.lm_idx[frame.lm_idx >= 0]
+        if len(ids) and not m.lm_valid[ids].all():
+            bad.append((frame.frame_id, int((~m.lm_valid[ids]).sum())))
+        return orig(self, frame, n_in)
+
+    Tracker._finish_tracked_frame = spy
+    try:
+        for i, f in enumerate(frames):
+            tr.track(f, i * 0.05)
+        tr.flush_mapping()
+    finally:
+        Tracker._finish_tracked_frame = orig
+    assert not bad, bad
+    # Trajectory timestamps strictly increasing (retirement in order).
+    ts_est, _ = tr.export_trajectory()
+    assert np.all(np.diff(ts_est) > 0)
+
+
+def test_pipeline_blackout_recovery():
+    """A short feature blackout mid-pipeline must not wedge the
+    tracker: in-flight frames are dropped, the recovery ladder runs,
+    and tracking re-acquires on the same map (or respawns cleanly)."""
+    n = 90
+    scene, frames, Rs, ts, cfg = _ring_setup(n, total_angle=0.5 * np.pi)
+    cfg.time_recently_lost = 0.6  # fail over quickly in test time
+    tr = Tracker(cfg)
+    black = np.zeros_like(frames[0])
+    seq = frames[:45] + [black] * 4 + frames[49:]
+    for i, f in enumerate(seq):
+        tr.track(f, i * 0.05)  # must not raise
+    tr.flush_mapping()
+    # Re-acquired or re-initialized: either way the tracker must be
+    # tracking again by the end of the sweep.
+    assert tr.state in (TrackState.OK, TrackState.NOT_INITIALIZED), tr.state
+    assert tr.n_lost_events >= 1
+
+
+def test_gba_apply_propagates_to_new_keyframes_and_landmarks():
+    """Keyframes/landmarks created while a (snapshotted) global BA
+    solves must be corrected through their anchors at apply time —
+    the reference's RunGlobalBundleAdjustment patch step
+    (src/LoopClosing.cc:2341-2541)."""
+    n = 40
+    scene, frames, Rs, ts, cfg = _ring_setup(n, total_angle=0.25 * np.pi)
+    cfg.async_mapping = False
+    tr = Tracker(cfg)
+    for i, f in enumerate(frames):
+        tr.track(f, i * 0.05)
+    m = tr.map
+    assert m.n_keyframes() >= 5
+    snap = tr._gba_gather()
+    assert snap is not None
+
+    # Simulate work happening DURING the solve: a new keyframe at a
+    # known relative pose from an existing anchor, plus a new landmark
+    # first observed by it.
+    anchor = int(np.nonzero(m.kf_valid)[0][-1])
+    R_rel = np.eye(3, dtype=np.float32)
+    t_rel = np.array([0.05, 0.0, 0.0], np.float32)
+    R_new_kf = (R_rel @ m.kf_R[anchor]).astype(np.float32)
+    t_new_kf = (R_rel @ m.kf_t[anchor] + t_rel).astype(np.float32)
+    nf = m.cfg.n_features
+    j = m.add_keyframe(
+        R_new_kf, t_new_kf,
+        m.kf_xy[anchor], m.kf_level[anchor], m.kf_angle[anchor],
+        m.kf_desc[anchor], m.kf_feat_valid[anchor],
+        np.full(nf, -1, np.int32), 99.0, 9999,
+    )
+    # Give it covisibility with the anchor (shared observations).
+    seen = m.kf_lm_idx[anchor][m.kf_lm_idx[anchor] >= 0][:50]
+    m.obs[j, seen] = True
+    m.mark_obs_dirty()
+    X = np.array([[0.3, 0.2, 5.0]], np.float32)
+    lm = m.add_landmarks(
+        X, np.zeros((1, 8), np.uint32), np.zeros((1, 256), np.int8),
+        j, np.zeros(1, np.int32), np.array([[0, 0, -1]], np.float32),
+        np.ones(1, np.float32), np.full(1, 10.0, np.float32),
+    )[0]
+
+    res = tr._gba_solve(snap, iters=5, background=False)
+    tr._gba_apply(snap, *res)
+
+    # The anchor moved by some correction C; the new KF must have moved
+    # by the SAME relative construction: T_j_new = T_rel o T_anchor_new.
+    exp_R = R_rel @ m.kf_R[anchor]
+    exp_t = R_rel @ m.kf_t[anchor] + t_rel
+    assert np.allclose(m.kf_R[j], exp_R, atol=1e-4)
+    assert np.allclose(m.kf_t[j], exp_t, atol=1e-4)
+    # The landmark rode its first-observer's correction: camera-frame
+    # coordinates are preserved.
+    xc_before = X[0] @ R_new_kf.T + t_new_kf
+    xc_after = m.lm_pos[lm] @ m.kf_R[j].T + m.kf_t[j]
+    assert np.allclose(xc_before, xc_after, atol=1e-4)

@@ -89,6 +89,16 @@ def main():
         per_frame[-1]["insert"] = time.perf_counter() - t0
         return r
 
+    orig_finish = Tracker._finish_tracked_frame
+
+    def finish(self, frame, n_in):
+        if not hasattr(self, "_nin_trace"):
+            self._nin_trace = []
+        self._nin_trace.append((frame.frame_id, n_in))
+        return orig_finish(self, frame, n_in)
+
+    Tracker._finish_tracked_frame = finish
+
     Tracker._track_frame_fused = fused
     Tracker._track_frame_slow = slow
     Tracker._refresh_dev_local = refresh
@@ -147,6 +157,11 @@ def main():
         p = per_frame[i]
         print(f"  frame {i}: " + " ".join(
             f"{k}={v*1e3:.0f}ms" for k, v in p.items()))
+    print("stage timers:")
+    for name, s in sorted(tr.timers.summary().items()):
+        print(f"  {name:16s} n={s['count']:4d} mean={s['mean_ms']:7.1f} "
+              f"p50={s['p50_ms']:7.1f}")
+    print("inlier trace:", getattr(tr, "_nin_trace", None))
 
 
 if __name__ == "__main__":
