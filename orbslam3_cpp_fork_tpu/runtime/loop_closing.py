@@ -63,6 +63,14 @@ def _match_loop_pair(bits_k, bound_k, angle_k, bits_c, bound_c, angle_c):
 
 
 @jax.jit
+def _unpack_bits(d):
+    """(...,8) uint32 packed descriptors -> (...,256) int8 on device."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    b = (d[..., :, None] >> shifts) & jnp.uint32(1)
+    return b.reshape(*d.shape[:-1], 256).astype(jnp.int8)
+
+
+@jax.jit
 def _proj_count(
     lm_desc, okp, uv, lvl, rad, kf_desc, kf_xy, kf_level, kf_valid
 ):
@@ -99,6 +107,29 @@ class LoopConfig:
 
 
 MAX_MAPS = 16  # gid namespace width shared with the Tracker
+
+
+def _sim3_mul_np(s1, R1, t1, s2, R2, t2):
+    """Sim3 composition on host (action x -> s R x + t). These 3x3
+    composes run hundreds of times per loop event (one per essential-
+    graph edge); as device calls each cost a ~25 ms round-trip."""
+    return float(s1) * float(s2), R1 @ R2, float(s1) * (R1 @ t2) + t1
+
+
+def _sim3_inv_np(s, R, t):
+    Rt = R.T
+    return 1.0 / float(s), Rt, -(Rt @ t) / float(s)
+
+
+def _covis_pairs(m: MapState, order: np.ndarray, min_weight: int):
+    """(a_slot, b_slot) pairs (b_slot >= a_slot+2) with covisibility >=
+    min_weight, via one float32 BLAS matmul over the incidence rows —
+    O(K^2 L) in BLAS instead of a Python K^2 loop over an int matmul."""
+    ob = m.obs[order].astype(np.float32)
+    Wm = ob @ ob.T
+    iu = np.triu_indices(len(order), 2)
+    hit = Wm[iu] >= min_weight
+    return iu[0][hit], iu[1][hit]
 
 
 def optimize_essential_graph_merge(
@@ -138,24 +169,18 @@ def optimize_essential_graph_merge(
     def add_edge_snap(a, b, wgt=1.0):
         if a not in free_set and b not in free_set:
             return  # both endpoints fixed: no information
-        inv = lie.sim3_inv(
-            jnp.float32(1.0), jnp.asarray(R_snap[a]), jnp.asarray(t_snap[a])
+        sm, Rm, tm = _sim3_mul_np(
+            1.0, R_snap[b], t_snap[b],
+            *_sim3_inv_np(1.0, R_snap[a], t_snap[a]),
         )
-        sm, Rm, tm = [np.asarray(x) for x in lie.sim3_mul(
-            jnp.float32(1.0), jnp.asarray(R_snap[b]), jnp.asarray(t_snap[b]), *inv
-        )]
         ei.append(slot[a]); ej.append(slot[b])
         es.append(float(sm)); eR.append(Rm); et.append(tm); ew.append(wgt)
 
     # Temporal chain over the merged map + covisibility edges.
     for a, b in zip(order[:-1], order[1:]):
         add_edge_snap(int(a), int(b))
-    Wm = m.obs.astype(np.int32) @ m.obs.astype(np.int32).T
-    for ii in range(K):
-        for jj in range(ii + 2, K):
-            a, b = int(order[ii]), int(order[jj])
-            if Wm[a, b] >= covis_edge_weight:
-                add_edge_snap(a, b)
+    for ii, jj in zip(*_covis_pairs(m, order, covis_edge_weight)):
+        add_edge_snap(int(order[ii]), int(order[jj]))
     if not ei:
         return
 
@@ -190,9 +215,7 @@ def optimize_essential_graph_merge(
             if len(selm) == 0:
                 continue
             pc = m.lm_pos[selm] @ R_snap[i].T + t_snap[i]
-            sinv, Rinv, tinv = [np.asarray(x) for x in lie.sim3_inv(
-                jnp.float32(s_n[sl]), jnp.asarray(R_n[sl]), jnp.asarray(t_n[sl])
-            )]
+            sinv, Rinv, tinv = _sim3_inv_np(s_n[sl], R_n[sl], t_n[sl])
             m.lm_pos[selm] = (pc @ Rinv.T) * sinv + tinv
 
     # Write back optimized poses (SE3 via t/s) for the free set only.
@@ -223,6 +246,7 @@ class LoopCloser:
         # Tracker overrides this with its mapping-backend put function
         # (host-CPU pinning behind high-latency links).
         self._put = jnp.asarray
+        self.kf_store = None  # shared DeviceKFStore (set by the Tracker)
         self.last_loop_kf = -10**9
         self.pending: tuple[int, int] | None = None  # (kf, candidate)
         self.n_loops_closed = 0
@@ -262,6 +286,17 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
 
+    def _dev_rows(self, k: int, m_c: MapState):
+        """Shared device keyframe store rows for KF k, or None when the
+        KF lives in a non-active map (merge candidates) or no store is
+        attached (then callers upload host rows)."""
+        st = self.kf_store
+        if st is None or m_c is not self.m:
+            return None
+        with self.lock:
+            st.sync(m_c, [int(k)])
+        return st
+
     def _kf_bits(self, k: int, m: MapState | None = None) -> np.ndarray:
         m = self.m if m is None else m
         return np.unpackbits(
@@ -285,13 +320,16 @@ class LoopCloser:
         radius = (r_base * SCALE_FACTOR ** level).astype(np.float32)
         return level, radius
 
-    def process_keyframe(self, k: int):
+    def process_keyframe(self, k: int, detect: bool = True):
         """Detect + (maybe) correct a loop at the new keyframe k, or
         propose an Atlas map merge. Returns None, or a merge proposal
         (dst_map_idx, candidate_kf, (s, R, t)) for the Tracker to
         execute. The keyframe is added to the database afterwards either
         way (the reference adds mpCurrentKF to the DB at the end of the
-        detection attempt, src/LoopClosing.cc:563)."""
+        detection attempt, src/LoopClosing.cc:563). `detect=False`
+        registers the keyframe only (used by the mapping stage's
+        catch-up mode under queue backlog — detection resumes on the
+        next uncongested keyframe)."""
         m = self.m
         bits = self._kf_bits(k)
         # One signature computation per keyframe, shared by the
@@ -304,7 +342,8 @@ class LoopCloser:
         imu_ready = m._imu_calib is None or m.imu_stage >= 3
         try:
             if (
-                imu_ready
+                detect
+                and imu_ready
                 and m.n_keyframes() >= self.cfg.min_kfs
                 and k - self.last_loop_kf > self.cfg.kf_gap_after_loop
             ):
@@ -360,18 +399,11 @@ class LoopCloser:
                 c_idx, m_c = maps_by_ns[ns]
                 if m_c.kf_valid[c]:
                     # S_k'c = T_k'k o S_kc with T_k'k from current poses.
-                    Tk = lie.sim3_mul(
-                        jnp.float32(1.0), self._put(m.kf_R[k]),
-                        self._put(m.kf_t[k]),
-                        *lie.sim3_inv(
-                            jnp.float32(1.0), self._put(m.kf_R[last_k]),
-                            self._put(m.kf_t[last_k]),
-                        ),
+                    Tk = _sim3_mul_np(
+                        1.0, m.kf_R[k], m.kf_t[k],
+                        *_sim3_inv_np(1.0, m.kf_R[last_k], m.kf_t[last_k]),
                     )
-                    s2, R2, t2 = [np.asarray(x) for x in lie.sim3_mul(
-                        *Tk, jnp.float32(sp), self._put(Rp), self._put(tp)
-                    )]
-                    s2 = float(s2)
+                    s2, R2, t2 = _sim3_mul_np(*Tk, sp, Rp, tp)
                     n_proj = self._projection_matches(k, c, s2, R2, t2, m_c)
                     if n_proj >= self.cfg.min_proj_weak:
                         count += 1
@@ -432,11 +464,22 @@ class LoopCloser:
         bound_c = m_c.kf_feat_valid[c] & (lm_c >= 0)
         if bound_k.sum() < cfg.min_bow_matches or bound_c.sum() < cfg.min_bow_matches:
             return None
+        # Keyframe descriptor rows come from the shared device store
+        # when the KF lives in the active map (the overlap half of a
+        # loopy trajectory validates candidates at nearly every KF —
+        # the 2x256 KB bit uploads dominated that cost).
+        st_k = self._dev_rows(k, m)
+        st_c = self._dev_rows(c, m_c)
         idx, ok = _match_loop_pair(
-            self._put(self._kf_bits(k)), self._put(bound_k),
-            self._put(m.kf_angle[k]),
-            self._put(self._kf_bits(c, m_c)), self._put(bound_c),
-            self._put(m_c.kf_angle[c]),
+            _unpack_bits(st_k.desc[k]) if st_k is not None
+            else self._put(self._kf_bits(k)),
+            self._put(bound_k),
+            st_k.angle[k] if st_k is not None else self._put(m.kf_angle[k]),
+            _unpack_bits(st_c.desc[c]) if st_c is not None
+            else self._put(self._kf_bits(c, m_c)),
+            self._put(bound_c),
+            st_c.angle[c] if st_c is not None
+            else self._put(m_c.kf_angle[c]),
         )
         idx, ok = np.asarray(idx), np.asarray(ok)
         sel = np.nonzero(ok)[0]
@@ -515,10 +558,9 @@ class LoopCloser:
         if len(lms) == 0:
             return 0
         # Corrected k pose as Sim3 (scale folded into translation later).
-        s_kw, R_kw, t_kw = [np.asarray(x) for x in lie.sim3_mul(
-            jnp.float32(s), self._put(R), self._put(t),
-            jnp.float32(1.0), self._put(m_c.kf_R[c]), self._put(m_c.kf_t[c]),
-        )]
+        s_kw, R_kw, t_kw = _sim3_mul_np(
+            s, R, t, 1.0, m_c.kf_R[c], m_c.kf_t[c]
+        )
         pc = (m_c.lm_pos[lms] @ R_kw.T) * s_kw + t_kw
         z = pc[:, 2]
         u = self.fx * pc[:, 0] / np.maximum(z, 1e-6) + self.cx
@@ -544,13 +586,17 @@ class LoopCloser:
                 [x, np.full((pad, *x.shape[1:]), fill, x.dtype)]
             )
 
+        st = self._dev_rows(k, m)
         n_proj = _proj_count(
             self._put(padf(m_c.lm_desc[lms])),
             self._put(padf(okp, False)),
             self._put(padf(uv)), self._put(padf(lvl)),
             self._put(padf(rad)),
-            self._put(m.kf_desc[k]), self._put(m.kf_xy[k]),
-            self._put(m.kf_level[k]), self._put(m.kf_feat_valid[k]),
+            st.desc[k] if st is not None else self._put(m.kf_desc[k]),
+            st.xy[k] if st is not None else self._put(m.kf_xy[k]),
+            st.level[k] if st is not None else self._put(m.kf_level[k]),
+            st.valid[k] if st is not None
+            else self._put(m.kf_feat_valid[k]),
         )
         return int(n_proj)
 
@@ -569,10 +615,9 @@ class LoopCloser:
         log.info("closing loop: KF %d -> KF %d (scale %.4f)", k, c, s)
 
         # Corrected Sim3 pose of k: S_kw_corr = S_kc o S_cw.
-        s_corr, R_corr, t_corr = [np.asarray(x) for x in lie.sim3_mul(
-            jnp.float32(s), self._put(R), self._put(t),
-            jnp.float32(1.0), self._put(m.kf_R[c]), self._put(m.kf_t[c]),
-        )]
+        s_corr, R_corr, t_corr = _sim3_mul_np(
+            s, R, t, 1.0, m.kf_R[c], m.kf_t[c]
+        )
 
         # Snapshot of pre-correction poses: essential-graph edge
         # measurements must come from the ORIGINAL (drifted) geometry
@@ -590,14 +635,11 @@ class LoopCloser:
             i = int(i)
             S_old[i] = (1.0, m.kf_R[i].copy(), m.kf_t[i].copy())
             # S_ik = S_iw_old o S_kw_old^-1
-            si, Ri, ti = [np.asarray(x) for x in lie.sim3_mul(
-                jnp.float32(1.0), self._put(m.kf_R[i]), self._put(m.kf_t[i]),
-                *lie.sim3_inv(jnp.float32(1.0), self._put(R_kw), self._put(t_kw)),
-            )]
-            sn, Rn, tn = [np.asarray(x) for x in lie.sim3_mul(
-                jnp.float32(si), self._put(Ri), self._put(ti),
-                jnp.float32(s_corr), self._put(R_corr), self._put(t_corr),
-            )]
+            si, Ri, ti = _sim3_mul_np(
+                1.0, m.kf_R[i], m.kf_t[i],
+                *_sim3_inv_np(1.0, R_kw, t_kw),
+            )
+            sn, Rn, tn = _sim3_mul_np(si, Ri, ti, s_corr, R_corr, t_corr)
             S_new[i] = (float(sn), Rn, tn)
 
         # Re-anchor the window's landmarks: X' = S_iw_new^-1(S_iw_old(X)),
@@ -618,9 +660,7 @@ class LoopCloser:
                 so, Ro, to = S_old[i]
                 sn, Rn, tn = S_new[i]
                 pc = (m.lm_pos[selm] @ Ro.T) * so + to
-                sinv, Rinv, tinv = [np.asarray(x) for x in lie.sim3_inv(
-                    jnp.float32(sn), self._put(Rn), self._put(tn)
-                )]
+                sinv, Rinv, tinv = _sim3_inv_np(sn, Rn, tn)
                 m.lm_pos[selm] = (pc @ Rinv.T) * sinv + tinv
                 for lm in selm:
                     lm_anchor[int(lm)] = i
@@ -663,7 +703,14 @@ class LoopCloser:
         bits = np.unpackbits(
             m.lm_desc[loop_lms].view(np.uint8), axis=-1, bitorder="little"
         ).astype(np.int8)
+        bits_dev = self._put(bits)  # one upload, shared by every target
         n_fused = 0
+        # Phase 1: dispatch each window keyframe's projection match
+        # asynchronously (device-store keyframe rows), then fetch the
+        # whole wave — one round-trip for the window instead of one per
+        # keyframe (the fuse runs inside the mapping stage whose stalls
+        # back-pressure turns into tracking losses).
+        pending = []
         for i in window:
             pc = m.lm_pos[loop_lms] @ m.kf_R[i].T + m.kf_t[i]
             z = pc[:, 2]
@@ -680,15 +727,25 @@ class LoopCloser:
                 m.lm_max_dist[loop_lms], np.linalg.norm(pc, axis=1),
                 r_base=3.0,
             )
+            st = self._dev_rows(i, m)
             idx, mok = matching.search_by_projection(
-                self._put(bits), self._put(okp), self._put(uv),
+                bits_dev, self._put(okp), self._put(uv),
                 self._put(lvl),
-                self._put(self._kf_bits(i)), self._put(m.kf_xy[i]),
-                self._put(m.kf_level[i]),
-                self._put(m.kf_feat_valid[i]),
+                _unpack_bits(st.desc[int(i)]) if st is not None
+                else self._put(self._kf_bits(i)),
+                st.xy[int(i)] if st is not None else self._put(m.kf_xy[i]),
+                st.level[int(i)] if st is not None
+                else self._put(m.kf_level[i]),
+                st.valid[int(i)] if st is not None
+                else self._put(m.kf_feat_valid[i]),
                 self._put(rad),
                 max_dist=matching.TH_LOW, ratio=0.9, level_band=1,
             )
+            pending.append((int(i), idx, mok))
+        for _, idx, mok in pending:
+            idx.copy_to_host_async()
+            mok.copy_to_host_async()
+        for i, idx, mok in pending:
             idx = np.asarray(idx)
             mok = np.asarray(mok)
             for j in np.nonzero(mok)[0]:
@@ -741,12 +798,10 @@ class LoopCloser:
         def add_edge_snap(a, b, wgt=1.0):
             # measurement S_ji = S_b o S_a^-1 from the pre-correction
             # snapshot (scale 1).
-            inv = lie.sim3_inv(
-                jnp.float32(1.0), self._put(R_snap[a]), self._put(t_snap[a])
+            sm, Rm, tm = _sim3_mul_np(
+                1.0, R_snap[b], t_snap[b],
+                *_sim3_inv_np(1.0, R_snap[a], t_snap[a]),
             )
-            sm, Rm, tm = [np.asarray(x) for x in lie.sim3_mul(
-                jnp.float32(1.0), self._put(R_snap[b]), self._put(t_snap[b]), *inv
-            )]
             ei.append(slot[a]); ej.append(slot[b])
             es.append(float(sm)); eR.append(Rm); et.append(tm); ew.append(wgt)
 
@@ -754,12 +809,10 @@ class LoopCloser:
         for a, b in zip(order[:-1], order[1:]):
             add_edge_snap(int(a), int(b))
         # Covisibility edges with weight >= covis_edge_weight.
-        Wm = m.obs.astype(np.int32) @ m.obs.astype(np.int32).T
-        for ii in range(K):
-            for jj in range(ii + 2, K):  # skip chain neighbors
-                a, b = int(order[ii]), int(order[jj])
-                if Wm[a, b] >= self.cfg.covis_edge_weight:
-                    add_edge_snap(a, b)
+        for ii, jj in zip(
+            *_covis_pairs(m, order, self.cfg.covis_edge_weight)
+        ):
+            add_edge_snap(int(order[ii]), int(order[jj]))
         # Previous loop edges (of this map only).
         for (mid, a, b, (sm, Rm, tm)) in self.loop_edges:
             if mid == m.map_id and a in slot and b in slot:
@@ -768,12 +821,9 @@ class LoopCloser:
         # The new loop edge: measured from the corrected relative pose
         # S_k_corr o S_c^-1 (by construction ~ the Sim3 from validation).
         sk, Rk, tk = S_new[k]
-        inv = lie.sim3_inv(
-            jnp.float32(1.0), self._put(m.kf_R[c]), self._put(m.kf_t[c])
+        sm, Rm, tm = _sim3_mul_np(
+            sk, Rk, tk, *_sim3_inv_np(1.0, m.kf_R[c], m.kf_t[c])
         )
-        sm, Rm, tm = [np.asarray(x) for x in lie.sim3_mul(
-            jnp.float32(sk), self._put(Rk), self._put(tk), *inv
-        )]
         ei.append(slot[c]); ej.append(slot[k])
         es.append(float(sm)); eR.append(Rm); et.append(tm); ew.append(2.0)
 
@@ -825,9 +875,7 @@ class LoopCloser:
                     else:
                         so, Ro, to = 1.0, R_snap[i], t_snap[i]
                     pc = (m.lm_pos[selm] @ Ro.T) * so + to
-                    sinv, Rinv, tinv = [np.asarray(x) for x in lie.sim3_inv(
-                        jnp.float32(s_n[sl]), self._put(R_n[sl]), self._put(t_n[sl])
-                    )]
+                    sinv, Rinv, tinv = _sim3_inv_np(s_n[sl], R_n[sl], t_n[sl])
                     m.lm_pos[selm] = (pc @ Rinv.T) * sinv + tinv
 
         # Write optimized poses back as SE3 (t / s).

@@ -88,14 +88,44 @@ class MappingWorker:
             if item is None:
                 self.q.task_done()
                 return
-            k, payload = item
+            # Drain everything already queued: the frontier of the map
+            # must keep pace with the camera, so under backlog the
+            # newest keyframe gets the full mapping step (whose
+            # triangulation pairs cover the skipped keyframes' features
+            # through the covisibility neighborhood) and the older ones
+            # are registered only. This bounds map latency to ~one
+            # mapping step regardless of queue depth.
+            items = [item]
+            stop = False
+            while True:
+                try:
+                    nxt = self.q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    stop = True
+                    break
+                items.append(nxt)
             try:
-                self.tracker._mapping_step(k, **payload)
-                self.n_processed += 1
+                if len(items) == 1:
+                    k, payload = items[0]
+                    self.tracker._mapping_step(k, **payload)
+                else:
+                    self.tracker._mapping_step_batch(
+                        [it[0] for it in items], **items[-1][1]
+                    )
+                self.n_processed += len(items)
             except BaseException as e:  # surface at the next flush
-                log.exception("mapping step failed for KF %d", k)
+                log.exception(
+                    "mapping step failed for KFs %s",
+                    [it[0] for it in items],
+                )
                 self.error = e
             finally:
-                self.q.task_done()
+                for _ in items:
+                    self.q.task_done()
+                if stop:
+                    self.q.task_done()
+                    return
                 if self.q.empty():
                     self.idle.set()

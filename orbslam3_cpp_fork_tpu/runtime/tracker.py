@@ -613,6 +613,65 @@ class FrameData:
         return self.desc_i8
 
 
+class DeviceKFStore:
+    """Device-resident mirror of the per-keyframe STATIC feature arrays
+    (descriptors, keypoints, levels, angles, validity, stereo depth).
+
+    Triangulation and fusion consume whole keyframe rows; re-uploading
+    them per mapping step costs ~600 KB through a ~27 MB/s tunneled
+    link (~25 ms) — a large share of the mapping-step latency that sets
+    how far the map frontier trails the camera. Rows are uploaded once
+    per keyframe (lazily, generation-checked, so every mutation path —
+    insertion, merge, reset, checkpoint load — is covered) and the
+    device programs gather them by index. Poses are NOT mirrored: they
+    move with every optimization and are small."""
+
+    def __init__(self, K: int, N: int):
+        self.gen = np.full(K, -1, np.int64)
+        self.map_id = -1
+        self.desc = jnp.zeros((K, N, 8), jnp.uint32)
+        self.xy = jnp.zeros((K, N, 2), jnp.float32)
+        self.level = jnp.zeros((K, N), jnp.int32)
+        self.angle = jnp.zeros((K, N), jnp.float32)
+        self.valid = jnp.zeros((K, N), bool)
+        self.depth = jnp.zeros((K, N), jnp.float32)
+        self.ur = jnp.zeros((K, N), jnp.float32)
+
+    def sync(self, m, ks) -> None:
+        """Ensure rows `ks` mirror map `m` (call under the map lock)."""
+        if m.map_id != self.map_id:
+            self.gen[:] = -1
+            self.map_id = m.map_id
+        need = np.unique(
+            [int(k) for k in ks if self.gen[k] != m.kf_gen[k]]
+        ).astype(np.int32)
+        if len(need) == 0:
+            return
+        # Fixed-width scatter batches: a variable-length index vector
+        # would compile a fresh scatter program per unique length.
+        B = 8
+        for i in range(0, len(need), B):
+            chunk = need[i:i + B]
+            chunk = np.resize(chunk, B)  # pad by repetition (idempotent)
+            at = jnp.asarray(chunk)
+            self.desc = self.desc.at[at].set(jnp.asarray(m.kf_desc[chunk]))
+            self.xy = self.xy.at[at].set(jnp.asarray(m.kf_xy[chunk]))
+            self.level = self.level.at[at].set(
+                jnp.asarray(m.kf_level[chunk])
+            )
+            self.angle = self.angle.at[at].set(
+                jnp.asarray(m.kf_angle[chunk])
+            )
+            self.valid = self.valid.at[at].set(
+                jnp.asarray(m.kf_feat_valid[chunk])
+            )
+            self.depth = self.depth.at[at].set(
+                jnp.asarray(m.kf_depth[chunk])
+            )
+            self.ur = self.ur.at[at].set(jnp.asarray(m.kf_ur[chunk]))
+        self.gen[need] = m.kf_gen[need]
+
+
 class Tracker:
     """SLAM front-end + local mapping for all sensor kinds
     (System::TrackMonocular/TrackStereo/TrackRGBD paths,
@@ -778,7 +837,13 @@ class Tracker:
         self.n_pipelined_frames = 0
         self.n_sync_frames = 0
         self._gba_thread: threading.Thread | None = None
-        self._kf_bits_lru: dict = {}
+        self._kf_store = DeviceKFStore(
+            cfg.map_cfg.max_keyframes, cfg.orb.n_features
+        )
+        if self.loop_closer is not None and self._map_dev is None:
+            # Share the device keyframe store with loop detection (only
+            # when loop solvers run on the same (default) device).
+            self.loop_closer.kf_store = self._kf_store
 
     @property
     def map(self) -> MapState:
@@ -2194,18 +2259,12 @@ class Tracker:
         ).astype(np.int8)
 
     def _kf_bits_dev(self, k: int):
-        """Device-resident unpacked KF descriptors, LRU-cached: a lost
-        stretch retries the same reloc candidates every frame, and the
-        256 KB per-candidate upload dominates its cost otherwise."""
-        key = (self.map.map_id, int(k), int(self.map.kf_gen[k]))
-        hit = self._kf_bits_lru.get(key)
-        if hit is not None:
-            return hit
-        dev = jnp.asarray(self._kf_bits(k))
-        self._kf_bits_lru[key] = dev
-        if len(self._kf_bits_lru) > 16:
-            self._kf_bits_lru.pop(next(iter(self._kf_bits_lru)))
-        return dev
+        """Device-resident unpacked KF descriptors via the keyframe
+        store (a lost stretch retries the same reloc candidates every
+        frame; the 256 KB per-candidate upload dominated its cost)."""
+        with self.map_lock:
+            self._kf_store.sync(self.map, [int(k)])
+        return _unpack_desc(self._kf_store.desc[int(k)])
 
     def _relocalize(self, frame: FrameData) -> bool:
         """Relocalization against recent keyframes: descriptor matching to
@@ -2484,6 +2543,31 @@ class Tracker:
         else:
             self._mapping_step(k, map_ref=m, frame=frame)
 
+    def _mapping_step_batch(self, ks: list[int], map_ref: MapState,
+                            frame: FrameData | None = None):
+        """Catch-up processing of a drained keyframe queue: older
+        keyframes are registered (stats + place-recognition database)
+        and the newest gets the full mapping step — its triangulation
+        runs against the covisibility neighborhood, which includes the
+        skipped keyframes, so their fresh features still seed the map
+        frontier."""
+        m = map_ref
+        live = [k for k in ks if m is self.map and m.kf_valid[k]]
+        if not live:
+            return
+        for k in live[:-1]:
+            seen = m.kf_lm_idx[k][m.kf_lm_idx[k] >= 0]
+            m.update_landmark_stats(np.unique(seen))
+            if self.loop_closer is not None:
+                self.loop_closer.process_keyframe(k, detect=False)
+            else:
+                self.kfdb.add(self._gid(k), self._kf_bits(k), m.kf_feat_valid[k])
+        log.info(
+            "mapping catch-up: registered %d queued KFs, full step on %d",
+            len(live) - 1, live[-1],
+        )
+        self._mapping_step(live[-1], map_ref=m, frame=frame)
+
     def _mapping_step(self, k: int, map_ref: MapState, frame: FrameData | None = None):
         """The LocalMapping + LoopClosing work for one keyframe
         (src/LocalMapping.cc:92-324 loop body and the LoopClosing
@@ -2506,23 +2590,37 @@ class Tracker:
         if new_ids:
             m.update_landmark_stats(np.asarray(new_ids))
 
-        # Fuse duplicate landmarks with the covisibility neighborhood
-        # (LocalMapping::SearchInNeighbors, src/LocalMapping.cc:743).
-        with self.map_lock:
-            with self.timers.span("map_fuse"):
-                self._search_in_neighbors(k)
+        # The InterruptBA analog: the reference runs local BA and
+        # keyframe culling ONLY when no further keyframe is queued
+        # (src/LocalMapping.cc:136-241 `if (!CheckNewKeyFrames())`), so
+        # a backed-up pipeline catches up by deferring optimization.
+        # Under a DEEP backlog (>=2 queued) we defer fusion and culling
+        # too: triangulation is the only stage the live tracker starves
+        # without — the map frontier must keep pace with the camera —
+        # while duplicate fusion and redundancy culling are quality
+        # passes the next uncongested keyframe re-runs over the same
+        # neighborhood.
+        backlog = self.worker.q.qsize() if self.worker is not None else 0
+        interrupted = backlog > 0
+        if backlog < 2:
+            # Fuse duplicate landmarks with the covisibility
+            # neighborhood (LocalMapping::SearchInNeighbors,
+            # src/LocalMapping.cc:743).
+            with self.map_lock:
+                with self.timers.span("map_fuse"):
+                    self._search_in_neighbors(k)
 
-            # Cull weak recent landmarks (MapPointCulling :382-416).
-            with self.timers.span("map_cull_lm"):
-                self._cull_landmarks()
-
-        # Local BA: visual-inertial temporal window once the IMU is
-        # initialized, otherwise visual covisibility window. The
-        # InterruptBA analog: the reference runs local BA and keyframe
-        # culling ONLY when no further keyframe is queued
-        # (src/LocalMapping.cc:136-241 `if (!CheckNewKeyFrames())`), so a
-        # backed-up pipeline catches up by deferring optimization.
-        interrupted = self.worker is not None and not self.worker.q.empty()
+                # Cull weak recent landmarks (MapPointCulling :382-416).
+                with self.timers.span("map_cull_lm"):
+                    self._cull_landmarks()
+        # Live re-check right before the optimization (InterruptBA,
+        # src/LocalMapping.cc:136): a keyframe that arrived while the
+        # stages above ran defers BA to the next idle step — during
+        # exploration the frontier (triangulation for the next KF)
+        # matters more than polish.
+        interrupted = interrupted or (
+            self.worker is not None and not self.worker.q.empty()
+        )
         if self.inertial and m.imu_stage >= 1:
             self._local_inertial_ba(k)
         elif not interrupted:
@@ -2546,7 +2644,9 @@ class Tracker:
         if self.loop_closer is not None:
             big0 = m.big_change_idx
             with self.timers.span("map_loop"):
-                merge = self.loop_closer.process_keyframe(k)
+                merge = self.loop_closer.process_keyframe(
+                    k, detect=backlog < 3
+                )
             if merge is not None:
                 if self.worker is not None:
                     # Merges rewrite live tracking state: hand back to
@@ -3119,18 +3219,20 @@ class Tracker:
         arr = np.asarray(ks + [ks[0]] * (T - len(ks)))
         free1 = m.kf_feat_valid[k1] & (m.kf_lm_idx[k1] < 0)
         free2 = m.kf_feat_valid[arr] & (m.kf_lm_idx[arr] < 0)
+        with self.map_lock:
+            s = self._kf_store
+            s.sync(m, [k1, *arr])
+        a = jnp.asarray(arr)
         idxs, Xs, goods = jax.device_get(
             fused_triangulate_batch(
                 jnp.asarray(m.kf_R[k1]), jnp.asarray(m.kf_t[k1]),
-                jnp.asarray(m.kf_desc[k1]), jnp.asarray(m.kf_xy[k1]),
-                jnp.asarray(free1), jnp.asarray(m.kf_angle[k1]),
-                jnp.asarray(m.kf_level[k1]), jnp.asarray(m.kf_depth[k1]),
-                jnp.asarray(m.kf_ur[k1]),
+                s.desc[k1], s.xy[k1],
+                jnp.asarray(free1), s.angle[k1],
+                s.level[k1], s.depth[k1], s.ur[k1],
                 jnp.asarray(m.kf_R[arr]), jnp.asarray(m.kf_t[arr]),
-                jnp.asarray(m.kf_desc[arr]), jnp.asarray(m.kf_xy[arr]),
-                jnp.asarray(free2), jnp.asarray(m.kf_angle[arr]),
-                jnp.asarray(m.kf_level[arr]), jnp.asarray(m.kf_depth[arr]),
-                jnp.asarray(m.kf_ur[arr]),
+                s.desc[a], s.xy[a],
+                jnp.asarray(free2), s.angle[a],
+                s.level[a], s.depth[a], s.ur[a],
                 jnp.asarray(pair_ok), jnp.asarray(self.K),
                 jnp.float32((self.cfg.bf)),
             )
@@ -3255,6 +3357,9 @@ class Tracker:
         rows = [int(x) for x in targets] + [int(k)]
         nT = len(rows)
         arr = np.asarray(rows + [rows[0]] * (T_CAP - nT))
+        s = self._kf_store
+        s.sync(m, arr)  # called under the map lock
+        a = jnp.asarray(arr)
         cur_mask = np.zeros(cap, bool)
         cur_mask[:n_ids] = np.isin(ids, cur_lms)
         fuse_mask = np.zeros(cap, bool)
@@ -3279,9 +3384,9 @@ class Tracker:
                 jnp.asarray(padf(m.lm_valid[ids], False)),
                 jnp.asarray(tgt_mask),
                 jnp.asarray(m.kf_R[arr]), jnp.asarray(m.kf_t[arr]),
-                jnp.asarray(m.kf_desc[arr]), jnp.asarray(m.kf_xy[arr]),
-                jnp.asarray(m.kf_level[arr]),
-                jnp.asarray(m.kf_feat_valid[arr]),
+                s.desc[a], s.xy[a],
+                s.level[a],
+                s.valid[a],
                 self.fx, self.fy, self.cx, self.cy,
                 float(self.cfg.width), float(self.cfg.height),
             )
