@@ -148,3 +148,74 @@ class KeyFrameDatabase:
         order = np.argsort(-scores)[:n_best]
         keep = scores[order] > min_score
         return order[keep], scores[order][keep]
+
+    def query_groups(
+        self,
+        hist: np.ndarray,
+        covis,
+        exclude: np.ndarray | None = None,
+        n_best: int = 3,
+        min_score: float = 0.03,
+        shared_word_frac: float = 0.8,
+        acc_frac: float = 0.75,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """DetectNBestCandidates semantics (src/KeyFrameDatabase.cc:
+        609-741): gate candidates by shared words (> shared_word_frac x
+        the maximum), score, then ACCUMULATE each candidate's score over
+        its top covisibles that also matched the query, and return the
+        best-scoring member of each of the top groups (keeping groups
+        within acc_frac of the best accumulated score). Group
+        accumulation is what makes retrieval robust to single-frame
+        aliasing. `covis(row) -> iterable of covisible rows` is supplied
+        by the caller (the database spans Atlas maps; covisibility
+        lives in each map's graph)."""
+        if self.codebook is None or not self.present.any():
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        P = self.hists[self.present]
+        mean = P.mean(axis=0)
+        df = (P > 0).sum(axis=0)
+        idf = np.log((1.0 + len(P)) / (1.0 + df)).astype(np.float32)
+        e = (hist - mean) * idf
+        q = e / max(np.linalg.norm(e), 1e-9)
+        emb = (self.hists - mean) * idf
+        norms = np.maximum(np.linalg.norm(emb, axis=1), 1e-9)
+        scores = (emb @ q) / norms
+        scores[~self.present] = -1.0
+        if exclude is not None and len(exclude):
+            scores[np.asarray(exclude, np.int64)] = -1.0
+
+        shared = (self.hists > 0).astype(np.float32) @ (hist > 0).astype(
+            np.float32
+        )
+        shared[~self.present] = 0
+        if exclude is not None and len(exclude):
+            shared[np.asarray(exclude, np.int64)] = 0
+        mx = shared.max()
+        if mx < 1:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        cand = np.nonzero(
+            (shared > shared_word_frac * mx) & (scores > min_score)
+        )[0]
+        if len(cand) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        cand_set = set(int(c) for c in cand)
+        groups = []  # (acc_score, best_row, best_score)
+        for c in cand:
+            members = [int(c)] + [
+                int(g) for g in covis(int(c)) if int(g) in cand_set
+            ]
+            acc = float(sum(scores[g] for g in members))
+            best = max(members, key=lambda g: scores[g])
+            groups.append((acc, int(best), float(scores[best])))
+        groups.sort(key=lambda t: -t[0])
+        best_acc = groups[0][0]
+        out, out_s, seen = [], [], set()
+        for acc, best, sc in groups:
+            if acc < acc_frac * best_acc or len(out) >= n_best:
+                break
+            if best in seen:
+                continue
+            seen.add(best)
+            out.append(best)
+            out_s.append(sc)
+        return np.asarray(out, np.int64), np.asarray(out_s, np.float32)

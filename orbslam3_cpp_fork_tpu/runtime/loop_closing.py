@@ -342,12 +342,18 @@ class LoopCloser:
         imu_ready = m._imu_calib is None or m.imu_stage >= 3
         try:
             if (
-                detect
-                and imu_ready
+                imu_ready
                 and m.n_keyframes() >= self.cfg.min_kfs
                 and k - self.last_loop_kf > self.cfg.kf_gap_after_loop
+                # `detect=False` (mapping catch-up under backlog) skips
+                # FRESH database queries, but a pending hypothesis is
+                # always re-validated — confirmation needs consecutive
+                # keyframes and the re-observation window is short.
+                and (detect or self.pending is not None)
             ):
-                proposal = self._detect_and_correct(k, bits, hist)
+                proposal = self._detect_and_correct(
+                    k, bits, hist, fresh=detect
+                )
         finally:
             self.kfdb.add(self._gid(k), bits, m.kf_feat_valid[k], hist=hist)
         return proposal
@@ -357,7 +363,8 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def _detect_and_correct(self, k: int, bits: np.ndarray,
-                            hist: np.ndarray | None = None):
+                            hist: np.ndarray | None = None,
+                            fresh: bool = True):
         """Returns a merge proposal (dst_map_idx, c, (s,R,t)) or None.
         Same-map detections are corrected in place (loop closing);
         other-map detections become merge proposals
@@ -419,9 +426,19 @@ class LoopCloser:
                         )
                         if handled:
                             return out
+                    else:
+                        log.info(
+                            "pending loop hypothesis KF %d -> %d dropped "
+                            "at KF %d (%d proj)", last_k, c, k, n_proj,
+                        )
+            # The hypothesis did not survive this keyframe: drop it and
+            # fall through to a FRESH database detection in the SAME
+            # call — returning here would waste a whole keyframe of the
+            # (short) re-observation window.
             self.pending = None
-            return None
 
+        if not fresh:
+            return None
         # 2) Fresh detection from the keyframe database. Exclusion set:
         # covisible group of k + temporally recent keyframes.
         w = m.covisibility_weights(k)
@@ -432,7 +449,24 @@ class LoopCloser:
         exclude += [self._gid(int(x)) for x in recent]
         if hist is None:
             return None
-        gids, scores = self.kfdb.query(hist, np.asarray(exclude), n_best=3)
+
+        def covis_gids(g):
+            ns2, c2 = int(g) // max_k, int(g) % max_k
+            if ns2 not in maps_by_ns:
+                return []
+            _, mm = maps_by_ns[ns2]
+            if not mm.kf_valid[c2]:
+                return []
+            nb, _ = mm.covisible_keyframes(c2, min_weight=1, top=10)
+            return [ns2 * max_k + int(x) for x in nb]
+
+        gids, scores = self.kfdb.query_groups(
+            hist, covis_gids, np.asarray(exclude), n_best=3
+        )
+        if len(gids):
+            log.debug("KF %d: %d loop candidates %s", k, len(gids),
+                      [(int(g) % max_k, round(float(s_), 3))
+                       for g, s_ in zip(gids, scores)])
         for g, sc in zip(gids, scores):
             ns, c = int(g) // max_k, int(g) % max_k
             if ns not in maps_by_ns:
@@ -484,6 +518,8 @@ class LoopCloser:
         idx, ok = np.asarray(idx), np.asarray(ok)
         sel = np.nonzero(ok)[0]
         if len(sel) < cfg.min_bow_matches:
+            log.debug("cand KF %d: %d bow matches < %d", c, len(sel),
+                      cfg.min_bow_matches)
             return None
 
         # Matched landmark positions in each camera frame (each from its
@@ -510,6 +546,8 @@ class LoopCloser:
             self._put(mask), key, fix_scale=cfg.fix_scale,
         )
         if not bool(ok_r) or int(n_inl) < cfg.min_ransac_inliers:
+            log.debug("cand KF %d: sim3 ransac %d inl (ok=%s)", c,
+                      int(n_inl), bool(ok_r))
             return None
 
         # GN refinement with bidirectional reprojection.
@@ -530,12 +568,15 @@ class LoopCloser:
             self.fx, self.fy, fix_scale=cfg.fix_scale,
         )
         if int(res.n_inliers) < cfg.min_sim3_inliers:
+            log.debug("cand KF %d: sim3 refine %d inl", c, int(res.n_inliers))
             return None
         s, R, t = float(res.s), np.asarray(res.R), np.asarray(res.t)
 
         # Guided projection: candidate-window landmarks into KF k.
         n_proj = self._projection_matches(k, c, s, R, t, m_c)
         if n_proj < cfg.min_proj_weak:
+            log.debug("cand KF %d: %d proj matches < %d", c, n_proj,
+                      cfg.min_proj_weak)
             return None
         log.info(
             "loop candidate KF %d -> %d: %d bow, %d sim3 inl, %d proj",

@@ -840,6 +840,7 @@ class Tracker:
         self._kf_store = DeviceKFStore(
             cfg.map_cfg.max_keyframes, cfg.orb.n_features
         )
+        self._last_ba_at = 0  # n_kf_inserted at the last local BA
         if self.loop_closer is not None and self._map_dev is None:
             # Share the device keyframe store with loop detection (only
             # when loop solvers run on the same (default) device).
@@ -2031,16 +2032,20 @@ class Tracker:
         self._pipe.append((frame, out, ids))
         self.n_pipelined_frames += 1
         frame.img_u8 = None  # upload done; free host memory
-        if len(self._pipe) > self.pipeline_lag:
+        # Adaptive depth: full lag while tracking is comfortable; a
+        # cautious lag of 1 (retire next frame — decisions only one
+        # frame late, and the per-frame wait still fits the camera
+        # budget) when the inlier count runs low. Hard failures at
+        # retirement still fall back to the synchronous ladder.
+        lag = (
+            self.pipeline_lag
+            if self._last_n_in >= self.cfg.pipeline_exit_inliers
+            else 1
+        )
+        while self._pipe and len(self._pipe) > lag:
             self._retire_oldest()
-            if (
-                self.state == TrackState.OK
-                and self._last_n_in < self.cfg.pipeline_exit_inliers
-            ):
-                # Tracking is getting uncomfortable: finish the
-                # in-flight frames and drop to frame-synchronous
-                # tracking until inliers recover (hysteresis).
-                self._drain_pipeline()
+            if self.state != TrackState.OK:
+                break
         return self._last_retired_T
 
     def _retire_oldest(self):
@@ -2281,7 +2286,21 @@ class Tracker:
         # (DetectRelocalizationCandidates); recency as fallback.
         hist = self.kfdb.histogram(frame.desc_i8, frame.valid)
         if hist is not None:
-            gids, _ = self.kfdb.query(hist, n_best=8, min_score=0.02)
+            max_k = self.cfg.map_cfg.max_keyframes
+
+            def covis_gids(g):
+                mid, c2 = int(g) // max_k, int(g) % max_k
+                if mid != m.map_id % self.max_maps or not m.kf_valid[c2]:
+                    return []
+                nb, _ = m.covisible_keyframes(c2, min_weight=1, top=10)
+                return [mid * max_k + int(x) for x in nb]
+
+            # Covisible-group accumulation
+            # (DetectRelocalizationCandidates, src/KeyFrameDatabase.cc:
+            # 743-863 uses the same 0.75*bestAccScore retention).
+            gids, _ = self.kfdb.query_groups(
+                hist, covis_gids, n_best=8, min_score=0.02
+            )
         else:
             gids = np.zeros(0, np.int64)
         # Keep only candidates in the ACTIVE map (lost recovery in other
@@ -2318,11 +2337,20 @@ class Tracker:
         for _, _, idx, ok in pending:
             idx.copy_to_host_async()
             ok.copy_to_host_async()
+        # Full PnP + escalation costs ~4 round-trips per candidate; rank
+        # by match count and try only the best few (the reference's
+        # per-candidate loop is host-cheap; ours is not).
+        scored = []
         for k, ref_lm, idx, ok in pending:
             ok_np = np.asarray(ok)
             idx_np = np.asarray(idx)
-            sel = np.nonzero(ok_np & (ref_lm >= 0) & m.lm_valid[np.maximum(ref_lm, 0)])[0]
-            if len(sel) < 15:
+            sel = np.nonzero(
+                ok_np & (ref_lm >= 0) & m.lm_valid[np.maximum(ref_lm, 0)]
+            )[0]
+            scored.append((len(sel), k, ref_lm, idx_np, sel))
+        scored.sort(key=lambda t: -t[0])
+        for n_match, k, ref_lm, idx_np, sel in scored[:3]:
+            if n_match < 15:
                 continue
             cap = self.cfg.local_lm_cap
             n = min(len(sel), cap)
@@ -2617,16 +2645,20 @@ class Tracker:
         # src/LocalMapping.cc:136): a keyframe that arrived while the
         # stages above ran defers BA to the next idle step — during
         # exploration the frontier (triangulation for the next KF)
-        # matters more than polish.
+        # matters more than polish. But never starve it: unpolished
+        # drift is what makes the revisit half of a loop fight its own
+        # old landmarks — run the window BA at least every 3rd KF.
         interrupted = interrupted or (
             self.worker is not None and not self.worker.q.empty()
         )
+        overdue = self.n_kf_inserted - self._last_ba_at >= 2
         if self.inertial and m.imu_stage >= 1:
             self._local_inertial_ba(k)
-        elif not interrupted:
+        elif not interrupted or overdue:
             window = [k] + [int(x) for x in neigh[: self.cfg.ba_kf_cap - 1]]
             with self.timers.span("map_local_ba"):
                 self._local_ba(window)
+            self._last_ba_at = self.n_kf_inserted
 
         # IMU initialization ladder (LocalMapping::Run :232-286;
         # synchronous mode only — it rewrites live tracking state).
@@ -3588,26 +3620,26 @@ class Tracker:
             return np.concatenate([x, np.full((pad_k, *x.shape[1:]), fill, x.dtype)])
 
         prob = BAProblem(
-            R=self._mput(padk(m.kf_R[kfs])),
-            t=self._mput(padk(m.kf_t[kfs])),
-            kf_valid=self._mput(np.concatenate([np.ones(len(kfs), bool), np.zeros(pad_k, bool)])),
-            kf_fixed=self._mput(np.concatenate([kf_fixed, np.ones(pad_k, bool)])),
-            Xw=self._mput(np.concatenate([m.lm_pos[lms], np.zeros((pad_l, 3), np.float32)])),
-            lm_valid=self._mput(np.concatenate([np.ones(len(lms), bool), np.zeros(pad_l, bool)])),
-            obs_kf=self._mput(np.concatenate([o_kf, np.zeros(pad_o)]).astype(np.int32)),
-            obs_lm=self._mput(np.concatenate([o_lm, np.zeros(pad_o)]).astype(np.int32)),
-            obs_uvr=self._mput(
+            R=self._offstream_put(padk(m.kf_R[kfs])),
+            t=self._offstream_put(padk(m.kf_t[kfs])),
+            kf_valid=self._offstream_put(np.concatenate([np.ones(len(kfs), bool), np.zeros(pad_k, bool)])),
+            kf_fixed=self._offstream_put(np.concatenate([kf_fixed, np.ones(pad_k, bool)])),
+            Xw=self._offstream_put(np.concatenate([m.lm_pos[lms], np.zeros((pad_l, 3), np.float32)])),
+            lm_valid=self._offstream_put(np.concatenate([np.ones(len(lms), bool), np.zeros(pad_l, bool)])),
+            obs_kf=self._offstream_put(np.concatenate([o_kf, np.zeros(pad_o)]).astype(np.int32)),
+            obs_lm=self._offstream_put(np.concatenate([o_lm, np.zeros(pad_o)]).astype(np.int32)),
+            obs_uvr=self._offstream_put(
                 np.concatenate(
                     [np.concatenate([o_uv, o_ur[:, None]], 1),
                      np.zeros((pad_o, 3), np.float32)]
                 )
             ),
-            obs_sigma2=self._mput(np.concatenate([o_sig, np.ones(pad_o, np.float32)])),
-            obs_stereo=self._mput(np.concatenate([o_st, np.zeros(pad_o, bool)])),
-            obs_valid=self._mput(np.concatenate([np.ones(len(o_kf), bool), np.zeros(pad_o, bool)])),
-            fx=self._mput(np.float32(self.fx)),
-            fy=self._mput(np.float32(self.fy)),
-            bf=self._mput(np.float32(self.cfg.bf)),
+            obs_sigma2=self._offstream_put(np.concatenate([o_sig, np.ones(pad_o, np.float32)])),
+            obs_stereo=self._offstream_put(np.concatenate([o_st, np.zeros(pad_o, bool)])),
+            obs_valid=self._offstream_put(np.concatenate([np.ones(len(o_kf), bool), np.zeros(pad_o, bool)])),
+            fx=self._offstream_put(np.float32(self.fx)),
+            fy=self._offstream_put(np.float32(self.fy)),
+            bf=self._offstream_put(np.float32(self.cfg.bf)),
         )
         from ..optim.local_ba import local_ba as run_ba
 

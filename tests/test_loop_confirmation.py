@@ -31,6 +31,10 @@ class _FakeKFDB:
     def query(self, hist, exclude=None, n_best=3, min_score=0.0):
         return np.asarray([self.gid]), np.asarray([0.9])
 
+    def query_groups(self, hist, covis, exclude=None, n_best=3,
+                     min_score=0.0, **kw):
+        return np.asarray([self.gid]), np.asarray([0.9])
+
     def add(self, gid, bits, valid, hist=None):
         pass
 
