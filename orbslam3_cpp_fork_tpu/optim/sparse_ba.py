@@ -265,17 +265,26 @@ def sparse_ba(
 # ----------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("iters", "gate_at", "cg_iters"))
+@partial(
+    jax.jit, static_argnames=("iters", "gate_at", "cg_iters", "axis_name")
+)
 def sparse_vi_ba(
     p: VIBAProblem,
     iters: int = 12,
     gate_at: int = 6,
     cg_iters: int = 80,
     damping_init: float = 1e-4,
+    axis_name: str | None = None,
 ) -> VIBAResult:
     """FullInertialBA at map scale: 15-dim body states, landmark Schur
     elimination matrix-free, inertial/bias-RW chain edges applied as
-    block-tridiagonal scatter contributions inside the CG matvec."""
+    block-tridiagonal scatter contributions inside the CG matvec.
+
+    With `axis_name` set, the obs_* arrays are the LOCAL SHARD of an
+    observation set sharded over that mesh axis (run under shard_map):
+    every reprojection-derived reduction is psummed, while the inertial
+    chain/prior terms — replicated state, identical on every device —
+    are computed locally without collectives."""
     K = p.Rwb.shape[0]
     L = p.Xw.shape[0]
     E = p.edge_i.shape[0]
@@ -353,7 +362,7 @@ def sparse_vi_ba(
             chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 0.0)) - d2
         )
         return (
-            jnp.sum(jnp.where(active, rho, 0.0))
+            _psum_if(jnp.sum(jnp.where(active, rho, 0.0)), axis_name)
             + inertial_cost(states)
             + prior_cost(states)
         )
@@ -376,14 +385,30 @@ def sparse_vi_ba(
         JpW = Jp * wgt[:, None, None]
         JlW = Jl * wgt[:, None, None]
         Wo = jnp.einsum("ori,orj->oij", JpW, Jl)  # (O,6,3)
-        Hcc6 = jnp.zeros((K, 6, 6)).at[p.obs_kf].add(
-            jnp.einsum("ori,orj->oij", JpW, Jp)
+        Hcc6 = _psum_if(
+            jnp.zeros((K, 6, 6)).at[p.obs_kf].add(
+                jnp.einsum("ori,orj->oij", JpW, Jp)
+            ),
+            axis_name,
         )
-        bc6 = jnp.zeros((K, 6)).at[p.obs_kf].add(-jnp.einsum("ori,or->oi", JpW, r))
-        Hll = jnp.zeros((L, 3, 3)).at[p.obs_lm].add(
-            jnp.einsum("ori,orj->oij", JlW, Jl)
+        bc6 = _psum_if(
+            jnp.zeros((K, 6)).at[p.obs_kf].add(
+                -jnp.einsum("ori,or->oi", JpW, r)
+            ),
+            axis_name,
         )
-        bl = jnp.zeros((L, 3)).at[p.obs_lm].add(-jnp.einsum("ori,or->oi", JlW, r))
+        Hll = _psum_if(
+            jnp.zeros((L, 3, 3)).at[p.obs_lm].add(
+                jnp.einsum("ori,orj->oij", JlW, Jl)
+            ),
+            axis_name,
+        )
+        bl = _psum_if(
+            jnp.zeros((L, 3)).at[p.obs_lm].add(
+                -jnp.einsum("ori,or->oi", JlW, r)
+            ),
+            axis_name,
+        )
 
         dHll = Hll + (lam * jnp.einsum("lii->l", Hll) / 3.0 + 1e-9)[
             :, None, None
@@ -406,8 +431,11 @@ def sparse_vi_ba(
 
         # RHS over full 15-dim states.
         hb = jnp.einsum("lpq,lq->lp", Hll_inv, bl)
-        rhs6 = bc6 - jnp.zeros((K, 6)).at[p.obs_kf].add(
-            jnp.einsum("oij,oj->oi", Wo, hb[p.obs_lm])
+        rhs6 = bc6 - _psum_if(
+            jnp.zeros((K, 6)).at[p.obs_kf].add(
+                jnp.einsum("oij,oj->oi", Wo, hb[p.obs_lm])
+            ),
+            axis_name,
         )
         rhs = jnp.zeros((K, D)).at[:, :6].set(rhs6)
         rhs = rhs.at[p.edge_i].add(bi).at[p.edge_j].add(bj)
@@ -428,10 +456,10 @@ def sparse_vi_ba(
             xm = x * free_f
             x6 = xm[:, :6]
             u = jnp.einsum("oij,oi->oj", Wo, x6[p.obs_kf])
-            v = jnp.zeros((L, 3)).at[p.obs_lm].add(u)
+            v = _psum_if(jnp.zeros((L, 3)).at[p.obs_lm].add(u), axis_name)
             w = jnp.einsum("lpq,lq->lp", Hll_inv, v)
             y = jnp.einsum("oij,oj->oi", Wo, w[p.obs_lm])
-            zz6 = jnp.zeros((K, 6)).at[p.obs_kf].add(y)
+            zz6 = _psum_if(jnp.zeros((K, 6)).at[p.obs_kf].add(y), axis_name)
             Hx6 = jnp.einsum("kij,kj->ki", Hcc6, x6)
             out = jnp.zeros((K, D)).at[:, :6].set(Hx6 - zz6)
             # Inertial chain: y_i += Hii x_i + Hij x_j; y_j += Hij^T x_i + Hjj x_j.
@@ -451,8 +479,11 @@ def sparse_vi_ba(
 
         # Preconditioner: exact block diagonal of the reduced system.
         WH = jnp.einsum("oij,ojq->oiq", Wo, Hll_inv[p.obs_lm])
-        Ssub = jnp.zeros((K, 6, 6)).at[p.obs_kf].add(
-            jnp.einsum("oiq,ojq->oij", WH, Wo)
+        Ssub = _psum_if(
+            jnp.zeros((K, 6, 6)).at[p.obs_kf].add(
+                jnp.einsum("oiq,ojq->oij", WH, Wo)
+            ),
+            axis_name,
         )
         P = Dblk.at[:, :6, :6].add(-Ssub)
         P = P + (lam * dvec + 1e-6)[:, :, None] * jnp.eye(D) + 1e-6 * jnp.eye(D)
@@ -464,8 +495,11 @@ def sparse_vi_ba(
 
         dx = _pcg(matvec, rhs, precond, cg_iters) * free_f
 
-        bl_corr = bl - jnp.zeros((L, 3)).at[p.obs_lm].add(
-            jnp.einsum("oij,oi->oj", Wo, dx[p.obs_kf, :6])
+        bl_corr = bl - _psum_if(
+            jnp.zeros((L, 3)).at[p.obs_lm].add(
+                jnp.einsum("oij,oi->oj", Wo, dx[p.obs_kf, :6])
+            ),
+            axis_name,
         )
         dxl = jnp.einsum("lpq,lq->lp", Hll_inv, bl_corr) * lm_f
 

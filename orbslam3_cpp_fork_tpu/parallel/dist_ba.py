@@ -92,6 +92,70 @@ def sparse_ba_sharded(
     return fn(shard_problem(mesh, p, axis))
 
 
+_VI_OBS_FIELDS = (
+    "obs_kf", "obs_lm", "obs_uvr", "obs_sigma2", "obs_stereo", "obs_valid",
+)
+
+
+def _vi_prob_specs(p, axis: str = AXIS):
+    """PartitionSpecs matching VIBAProblem `p`'s structure: observation
+    arrays sharded along `axis`, body states / landmarks / inertial
+    chain (small, O(K)) replicated."""
+    import jax.tree_util as jtu
+
+    def spec(path, _leaf):
+        name = next(
+            (k.name for k in path if hasattr(k, "name")), None
+        )
+        return P(axis) if name in _VI_OBS_FIELDS else P()
+
+    return jtu.tree_map_with_path(spec, p)
+
+
+def sparse_vi_ba_sharded(
+    mesh: Mesh,
+    p,
+    iters: int = 12,
+    gate_at: int = 6,
+    cg_iters: int = 80,
+    axis: str = AXIS,
+):
+    """FullInertialBA with the reprojection observation set sharded over
+    `mesh` (visual-inertial analog of sparse_ba_sharded): each device
+    reduces its shard's reprojection normal-equation blocks with psums
+    over ICI; the inertial chain (O(K) edges, replicated) is computed
+    locally on every device without collectives."""
+    from ..optim.inertial import VIBAResult
+    from ..optim.sparse_ba import sparse_vi_ba
+
+    if int(p.obs_kf.shape[0]) % mesh.devices.size != 0:
+        raise ValueError(
+            f"obs count {p.obs_kf.shape[0]} not divisible by mesh size "
+            f"{mesh.devices.size}; pad the problem"
+        )
+    specs = _vi_prob_specs(p, axis)
+
+    def run(ps):
+        return sparse_vi_ba(
+            ps, iters=iters, gate_at=gate_at, cg_iters=cg_iters,
+            axis_name=axis,
+        )
+
+    fn = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=VIBAResult(
+            Rwb=P(), twb=P(), vel=P(), bg=P(), ba=P(), Xw=P(),
+            obs_inlier=P(axis), cost=P(),
+        ),
+    )
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), p, specs
+    )
+    return fn(sharded)
+
+
 def default_mesh(axis: str = AXIS) -> Mesh | None:
     """One-axis mesh over all visible devices; None when single-device."""
     devs = jax.devices()

@@ -3125,8 +3125,21 @@ class Tracker:
                    sparse: bool = False):
         if sparse:
             from ..optim.sparse_ba import sparse_vi_ba
+            from ..parallel.dist_ba import default_mesh, sparse_vi_ba_sharded
 
-            res = sparse_vi_ba(prob, iters=iters, gate_at=gate_at)
+            # Multi-chip: shard the reprojection observation set over
+            # every visible device (ICI psum reductions), exactly like
+            # the visual global BA.
+            mesh = default_mesh()
+            if (
+                mesh is not None
+                and int(prob.obs_kf.shape[0]) % mesh.devices.size == 0
+            ):
+                res = sparse_vi_ba_sharded(
+                    mesh, prob, iters=iters, gate_at=gate_at
+                )
+            else:
+                res = sparse_vi_ba(prob, iters=iters, gate_at=gate_at)
         else:
             from ..optim.inertial import visual_inertial_ba
 

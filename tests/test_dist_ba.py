@@ -105,3 +105,46 @@ def test_sharded_map_scale_converges_and_scales():
 def test_default_mesh():
     mesh = default_mesh()
     assert mesh is not None and mesh.devices.size >= 2
+
+
+def test_vi_sharded_matches_single_device():
+    """sparse_vi_ba under shard_map (observations sharded over the
+    8-device CPU mesh, inertial chain replicated) equals the local
+    solve up to reduction order — the VI analog of the visual
+    equality gate."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from orbslam3_cpp_fork_tpu.optim.sparse_ba import sparse_vi_ba
+    from orbslam3_cpp_fork_tpu.parallel.dist_ba import (
+        AXIS, sparse_vi_ba_sharded,
+    )
+    from test_sparse_ba import _make_vi_problem
+
+    devs = jax.devices()
+    assert len(devs) >= 8
+    mesh = Mesh(np.array(devs[:8]), (AXIS,))
+    prob, p_gt, p_perturbed = _make_vi_problem(pad_obs_to=None)
+    O = int(prob.obs_kf.shape[0])
+    pad_to = -(-O // 8) * 8
+    prob, p_gt, _ = _make_vi_problem(pad_obs_to=pad_to)
+
+    res_local = sparse_vi_ba(prob, iters=8, gate_at=4, cg_iters=60)
+    res_shard = sparse_vi_ba_sharded(mesh, prob, iters=8, gate_at=4,
+                                     cg_iters=60)
+
+    np.testing.assert_allclose(
+        np.asarray(res_shard.twb), np.asarray(res_local.twb),
+        rtol=0, atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_shard.Xw), np.asarray(res_local.Xw),
+        rtol=0, atol=5e-3,
+    )
+    # And it actually solved the problem.
+    err_s = np.linalg.norm(
+        np.asarray(res_shard.twb) - p_gt, axis=-1
+    ).mean()
+    err_0 = np.linalg.norm(p_perturbed - p_gt, axis=-1).mean()
+    assert err_s < 0.5 * err_0, (err_0, err_s)

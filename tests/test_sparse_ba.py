@@ -136,9 +136,11 @@ def test_sparse_ba_map_scale():
     assert np.asarray(res.obs_inlier).mean() > 0.95
 
 
-def test_sparse_vi_ba_matches_dense():
-    """The sparse VI solver agrees with visual_inertial_ba on the same
-    temporal-window problem (FullInertialBA equivalence)."""
+def _make_vi_problem(pad_obs_to: int | None = None):
+    """Small FullInertialBA problem (chain + reprojection); also used by
+    the distributed-BA equality test. Returns (prob, p_gt, p_perturbed).
+    `pad_obs_to` pads the observation set with invalid rows so it
+    divides a device-mesh size."""
     from test_inertial import make_kf_chain, _landmark_obs
 
     n_kf, kf_dt = 6, 0.4
@@ -195,6 +197,29 @@ def test_sparse_vi_ba_matches_dense():
         fy=jnp.float32(fy),
         bf=jnp.float32(0.0),
     )
+    if pad_obs_to is not None and pad_obs_to > O:
+        pad = pad_obs_to - O
+        import dataclasses as _dc
+        prob = _dc.replace(
+            prob,
+            obs_kf=jnp.concatenate([prob.obs_kf, jnp.zeros(pad, jnp.int32)]),
+            obs_lm=jnp.concatenate([prob.obs_lm, jnp.zeros(pad, jnp.int32)]),
+            obs_uvr=jnp.concatenate(
+                [prob.obs_uvr, jnp.zeros((pad, 3), jnp.float32)]
+            ),
+            obs_sigma2=jnp.concatenate(
+                [prob.obs_sigma2, jnp.ones(pad, jnp.float32)]
+            ),
+            obs_stereo=jnp.concatenate([prob.obs_stereo, jnp.zeros(pad, bool)]),
+            obs_valid=jnp.concatenate([prob.obs_valid, jnp.zeros(pad, bool)]),
+        )
+    return prob, p, pp
+
+
+def test_sparse_vi_ba_matches_dense():
+    """The sparse VI solver agrees with visual_inertial_ba on the same
+    temporal-window problem (FullInertialBA equivalence)."""
+    prob, p, pp = _make_vi_problem()
     res_d = inertial.visual_inertial_ba(prob, iters=12, gate_at=6)
     res_s = sparse_vi_ba(prob, iters=12, gate_at=6, cg_iters=80)
 
