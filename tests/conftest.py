@@ -20,3 +20,29 @@ import jax  # noqa: E402
 # (which overrides the env var), so force CPU again at the config level.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# ---------------------------------------------------------------------------
+# Smoke tier: a sub-2-minute sweep touching every subsystem (lie/camera/
+# optimizers/IMU/matching/policy/config/graph/retrieval-logic) for quick
+# iteration. The full fast tier (~10 min: golden kernel parity, stereo
+# depth, dist-BA equality, CLI drivers) stays the default CI pass.
+#   python -m pytest -q -m smoke
+import pytest  # noqa: E402
+
+_SMOKE_MODULES = {
+    "test_lie.py", "test_camera.py", "test_optim.py", "test_imu.py",
+    "test_triangulation_policy.py", "test_settings_io.py",
+    "test_landmark_stats.py", "test_loop_confirmation.py",
+    "test_native_mapgraph.py", "test_viewer.py", "test_geometry.py",
+    "test_loop_opt.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for it in items:
+        mod = it.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        if mod in _SMOKE_MODULES and not any(
+            m.name == "slow" for m in it.iter_markers()
+        ):
+            it.add_marker(pytest.mark.smoke)

@@ -125,10 +125,10 @@ def test_vi_sharded_matches_single_device():
     devs = jax.devices()
     assert len(devs) >= 8
     mesh = Mesh(np.array(devs[:8]), (AXIS,))
-    prob, p_gt, p_perturbed = _make_vi_problem(pad_obs_to=None)
+    prob, p_gt, p_perturbed, _v, _vp = _make_vi_problem(pad_obs_to=None)
     O = int(prob.obs_kf.shape[0])
     pad_to = -(-O // 8) * 8
-    prob, p_gt, _ = _make_vi_problem(pad_obs_to=pad_to)
+    prob, p_gt, _, _v, _vp = _make_vi_problem(pad_obs_to=pad_to)
 
     res_local = sparse_vi_ba(prob, iters=8, gate_at=4, cg_iters=60)
     res_shard = sparse_vi_ba_sharded(mesh, prob, iters=8, gate_at=4,

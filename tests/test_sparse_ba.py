@@ -140,7 +140,7 @@ def _make_vi_problem(pad_obs_to: int | None = None):
     """Small FullInertialBA problem (chain + reprojection); also used by
     the distributed-BA equality test. Returns (prob, p_gt, p_perturbed).
     `pad_obs_to` pads the observation set with invalid rows so it
-    divides a device-mesh size."""
+    divides a device-mesh size. Returns (prob, p_gt, p_perturbed, v_gt, v_perturbed)."""
     from test_inertial import make_kf_chain, _landmark_obs
 
     n_kf, kf_dt = 6, 0.4
@@ -213,13 +213,13 @@ def _make_vi_problem(pad_obs_to: int | None = None):
             obs_stereo=jnp.concatenate([prob.obs_stereo, jnp.zeros(pad, bool)]),
             obs_valid=jnp.concatenate([prob.obs_valid, jnp.zeros(pad, bool)]),
         )
-    return prob, p, pp
+    return prob, p, pp, v, vp
 
 
 def test_sparse_vi_ba_matches_dense():
     """The sparse VI solver agrees with visual_inertial_ba on the same
     temporal-window problem (FullInertialBA equivalence)."""
-    prob, p, pp = _make_vi_problem()
+    prob, p, pp, v, vp = _make_vi_problem()
     res_d = inertial.visual_inertial_ba(prob, iters=12, gate_at=6)
     res_s = sparse_vi_ba(prob, iters=12, gate_at=6, cg_iters=80)
 
