@@ -160,11 +160,13 @@ class TrackerConfig:
     mapping_backend: str = "auto"
     # Pipeline: run mapping + loop closing on a background stage (the
     # reference's LocalMapping/LoopClosing threads) so per-frame track
-    # latency stays flat across keyframe insertions. Tracking reads a
-    # bounded-stale map; corrections rebase the live frame at the next
-    # frame boundary. Visual sensors only for now — inertial runs the
-    # mapping step synchronously (the IMU ladder rewrites live tracking
-    # state). Set False for bit-deterministic runs (regression tests).
+    # latency stays flat across keyframe insertions — for EVERY sensor,
+    # like the reference's single pipeline (src/System.cc:217). Tracking
+    # reads a bounded-stale map; corrections (loop closures, IMU-ladder
+    # re-alignments) rebase the live frame at the next frame boundary,
+    # and verdicts that rewrite live tracking state (map resets, merges)
+    # are handed back to the track thread. Set False for
+    # bit-deterministic runs (regression tests).
     async_mapping: bool = True
     # Software-pipelined tracking: per-frame device programs chain
     # on-device (pose prediction + bound-landmark carry are device
@@ -810,11 +812,16 @@ class Tracker:
         self._pending_merge: tuple | None = None
         self._dev_local: dict | None = None  # device local-map snapshot
         self.worker = None
-        if cfg.async_mapping and not self.inertial:
+        if cfg.async_mapping:
             from .mapping_worker import MappingWorker
 
             self.worker = MappingWorker(self)
         self.n_kf_skipped_backpressure = 0
+        # Inertial hand-backs from the background mapping stage: a
+        # bad-IMU verdict resets the map on the track thread (it
+        # rewrites live tracking state); IMU-ladder map rewrites reach
+        # the live frame through big_change_idx + the rebase.
+        self._pending_reset = False
 
         # Software-pipelined tracking state (see device_step.py
         # fused_frame_program). `_pipe` holds in-flight dispatched
@@ -1092,6 +1099,9 @@ class Tracker:
         # global BA) rebase the last frame's pose through its
         # reference-keyframe relative pose (Tracking.cc:1857 map-change
         # handling).
+        if self._pending_reset:
+            self._pending_reset = False
+            self._spawn_or_reset_map()
         if self._pending_merge is not None:
             mk, proposal = self._pending_merge
             self._pending_merge = None
@@ -1156,6 +1166,41 @@ class Tracker:
         if self.last is None or self.last.R is None or not self.trajectory:
             self.velocity = None
             return
+        self.velocity = None
+        if (
+            self.inertial
+            and self.last_kf_slot >= 0
+            and m.kf_valid[self.last_kf_slot]
+        ):
+            # Inertial rebase = the reference's UpdateFrameIMU
+            # (src/Tracking.cc:3802): the visual relative-pose record is
+            # in PRE-re-alignment units (a gravity/scale re-alignment
+            # rescales the world), so instead re-anchor at the last
+            # keyframe's corrected body state and dead-reckon through
+            # the body-frame preintegration since that keyframe — which
+            # is invariant to the world re-alignment.
+            from ..ops import imu as imu_ops
+
+            k = self.last_kf_slot
+            with self.map_lock:
+                Rwb_k, p_k = self._body_from_cam_np(m.kf_R[k], m.kf_t[k])
+                v_k = m.kf_vel[k].copy()
+                self.cur_bg = m.kf_bg[k].copy()
+                self.cur_ba = m.kf_ba[k].copy()
+            if self._pre_from_kf is not None:
+                R2, p2, v2 = imu_ops.predict_state(
+                    jnp.asarray(Rwb_k), jnp.asarray(p_k), jnp.asarray(v_k),
+                    self._pre_from_kf,
+                    jnp.asarray(self.cur_bg), jnp.asarray(self.cur_ba),
+                )
+                Rwb2, p2, v2 = np.asarray(R2), np.asarray(p2), np.asarray(v2)
+            else:
+                Rwb2, p2, v2 = Rwb_k, p_k, v_k
+            self.last.R, self.last.t = self._cam_from_body_np(Rwb2, p2)
+            self.cur_v = v2.astype(np.float32)
+            self.last_body = (Rwb2, p2, self.cur_v.copy())
+            self.prior_H = None
+            return
         fid, ts, map_id, kref, R_cr, t_cr = self.trajectory[-1]
         while (map_id, kref) in self._kf_alias:
             map_id, kref = self._kf_alias[(map_id, kref)]
@@ -1163,10 +1208,14 @@ class Tracker:
             with self.map_lock:
                 self.last.R = (R_cr @ m.kf_R[kref]).astype(np.float32)
                 self.last.t = (R_cr @ m.kf_t[kref] + t_cr).astype(np.float32)
-        self.velocity = None
-        if self.inertial and self.last_kf_slot >= 0 and m.kf_valid[self.last_kf_slot]:
-            self.cur_bg = m.kf_bg[self.last_kf_slot].copy()
-            self.cur_ba = m.kf_ba[self.last_kf_slot].copy()
+        elif self.ref_kf >= 0 and m.kf_valid[self.ref_kf]:
+            # No usable trajectory record for the last frame (e.g. it
+            # was dropped mid-re-alignment): re-anchor at the reference
+            # keyframe's corrected pose; the next frame's wide
+            # re-acquisition absorbs the approximation.
+            with self.map_lock:
+                self.last.R = m.kf_R[self.ref_kf].copy()
+                self.last.t = m.kf_t[self.ref_kf].copy()
 
     def _execute_merge(self, k: int, frame: FrameData, dst_idx: int, c: int, S_kc):
         """Weld the active map into Atlas map `dst_idx` through the
@@ -2423,6 +2472,23 @@ class Tracker:
         OK -> RECENTLY_LOST -> LOST (src/Tracking.cc:2060-2075). With an
         initialized IMU (or an established map) we dead-reckon /
         relocalize for time_recently_lost seconds before declaring LOST."""
+        if (
+            self.map.big_change_idx != self._seen_change_idx
+            and self.last is not None
+            and self.last.R is not None
+        ):
+            # The background stage re-aligned the map (IMU ladder
+            # gravity/rescale, loop correction) mid-frame: this frame
+            # was tracked against a world that moved underneath it.
+            # Drop the frame and let the next one rebase from its
+            # reference keyframe instead of declaring a loss.
+            log.info(
+                "track miss during background map re-alignment at frame "
+                "%d; rebasing instead of declaring loss", frame.frame_id,
+            )
+            frame.R = None
+            frame.t = None
+            return
         n_kf = self.map.n_keyframes()
         imu_ready = self.inertial and self.map.imu_stage >= 1
         frame.lm_idx[:] = -1
@@ -2660,10 +2726,26 @@ class Tracker:
                 self._local_ba(window)
             self._last_ba_at = self.n_kf_inserted
 
-        # IMU initialization ladder (LocalMapping::Run :232-286;
-        # synchronous mode only — it rewrites live tracking state).
+        # IMU initialization ladder (LocalMapping::Run :232-286). On the
+        # background stage the ladder runs against a shim frame carrying
+        # the keyframe's timestamp: its map rewrites (gravity alignment,
+        # rescale, full VI BA) reach the live frame through
+        # big_change_idx + the track thread's rebase, its live-state
+        # updates (velocity/bias carries) are whole-object assignments
+        # the track thread picks up at the next frame, and a bad-IMU
+        # verdict is handed back (`_pending_reset`) because a map reset
+        # rewrites live tracking state.
         if self.inertial:
-            self._imu_ladder(frame, k)
+            if frame is None:
+                shim = FrameData(
+                    frame_id=int(m.kf_frame_id[k]),
+                    timestamp=float(m.kf_timestamp[k]),
+                )
+                shim.R = m.kf_R[k].copy()
+                shim.t = m.kf_t[k].copy()
+                self._imu_ladder(shim, k)
+            else:
+                self._imu_ladder(frame, k)
 
         # Redundant-keyframe culling (LocalMapping::KeyFrameCulling).
         if not interrupted:
@@ -2766,7 +2848,13 @@ class Tracker:
                         "bad IMU: %.3f m motion over last 2 KFs at t=%.1fs; "
                         "resetting active map", dist, elapsed,
                     )
-                    self._spawn_or_reset_map()
+                    if threading.current_thread().name == "mapping":
+                        # A map reset rewrites live tracking state:
+                        # hand the verdict back to the track thread
+                        # (mbBadImu consumed at src/Tracking.cc:1782).
+                        self._pending_reset = True
+                    else:
+                        self._spawn_or_reset_map()
                     return
         if m.imu_stage == 1 and elapsed >= cfg.viba1_time:
             log.info("VIBA1 at t=%.1fs", elapsed)

@@ -97,6 +97,7 @@ def vi_tracked():
         viba2_time=1e9,  # keep the test short
         imu_kf_period=0.3,
         enable_loop_closing=False,
+        async_mapping=False,  # deterministic regression gate
     )
     tracker = Tracker(cfg)
     poses = []
@@ -139,3 +140,60 @@ def test_vi_gravity_aligned(vi_tracked):
     _, _, V = np.linalg.svd(pos)
     normal = V[2]
     assert abs(normal[2]) > 0.98, normal
+
+
+def test_vi_async_pipeline_metric_scale(monkeypatch):
+    """The SHIPPING configuration for inertial sensors: background
+    mapping stage enabled (the reference runs every sensor through the
+    same LocalMapping/LoopClosing threads, src/System.cc:217). The IMU
+    ladder runs on the worker against shim frames; its re-alignments
+    reach the live frame through the rebase; the metric-scale claim
+    must still hold.
+
+    The rotation rate is reduced vs the deterministic gate: in this
+    free-running CPU test the mapping worker shares host cores with
+    tracking (on the real deployment tracking compute is on the TPU),
+    so the frontier race is artificially harsh — the bobbing
+    excitation, which is what makes scale observable, is unchanged."""
+    monkeypatch.setattr(
+        __import__("test_vi_tracking_e2e"), "OMEGA", 0.22
+    )
+    scene = synthetic.make_ring_scene(seed=5)
+    n_frames = 70
+    dt = 1.0 / FPS
+    stamps = np.arange(n_frames) * dt
+    Rs, ts = [], []
+    for t in stamps:
+        Rwb, p, _, _, _ = bob_state(t)
+        Rs.append(Rwb)
+        ts.append(p)
+    Rs, ts = np.stack(Rs), np.stack(ts)
+    frames = synthetic.render_sequence(scene, Rs, ts)
+    cam = Camera.pinhole(
+        scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2]
+    )
+    cfg = TrackerConfig(
+        camera=cam, width=scene.width, height=scene.height,
+        sensor=Sensor.IMU_MONOCULAR, orb=OrbParams(n_features=600),
+        imu=ImuSettings(freq=IMU_HZ),
+        imu_init_min_kfs=6, imu_init_time=0.6, viba1_time=3.0,
+        viba2_time=1e9, imu_kf_period=0.3, enable_loop_closing=False,
+        async_mapping=True,
+    )
+    tracker = Tracker(cfg)
+    assert tracker.worker is not None  # inertial gets the pipeline too
+    poses = []
+    for i in range(n_frames):
+        rows = imu_rows(stamps[i - 1], stamps[i]) if i > 0 else None
+        poses.append(tracker.track(frames[i], float(stamps[i]), imu=rows))
+    tracker.flush_mapping()
+    assert tracker.state == TrackState.OK
+    assert tracker.map.imu_stage >= 1, "IMU never initialized"
+    assert sum(p is not None for p in poses) > 50
+    ts_est, Twc = tracker.export_trajectory()
+    res = ate_rmse(ts_est, Twc[:, :3, 3], stamps, ts)
+    assert res.n_pairs > 40
+    # Looser than the deterministic gate (the ladder lands with a
+    # bounded lag) but the map must be METRIC.
+    assert abs(res.scale - 1.0) < 0.2, f"scale off: {res.scale}"
+    assert res.rmse_scaled < 0.15, res
