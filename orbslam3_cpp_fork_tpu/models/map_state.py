@@ -32,6 +32,11 @@ SCALE_FACTOR = 1.2
 N_LEVELS = 8
 LEVEL_SIGMA2 = (SCALE_FACTOR ** (2 * np.arange(N_LEVELS))).astype(np.float32)
 
+# Byte-popcount lookup table for Hamming distances on packed descriptors.
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(1).astype(np.uint16)
+
 
 @dataclasses.dataclass
 class MapConfig:
@@ -577,15 +582,22 @@ class MapState:
             return
 
         # Min-median-Hamming representative descriptor per landmark.
+        # Popcount via byte LUT (unpackbits would materialize an 8x
+        # larger intermediate) and median via sort + lower-middle pick
+        # (np.nanmedian partitions per row and dominated the mapping
+        # stage's host time at ~45 ms per call). The reference's median
+        # is also the lower middle: vDists[0.5*(N-1)],
+        # src/MapPoint.cc:456.
         x = D[:, :, None, :] ^ D[:, None, :, :]  # (n,M,M,8)
-        dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1).astype(np.float32)
+        dist = _POPCOUNT8[x.view(np.uint8)].sum(-1, dtype=np.uint16)
+        dist = dist.astype(np.float32)
         pair_ok = Vm[:, :, None] & Vm[:, None, :]
-        dist = np.where(pair_ok, dist, np.nan)
-        import warnings
-
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN pads
-            med = np.nanmedian(dist, axis=2)  # (n,M)
+        dist = np.where(pair_ok, dist, np.inf)
+        ds = np.sort(dist, axis=2)  # invalid entries sort to the end
+        mid = np.maximum((n_obs - 1) // 2, 0)  # lower middle per landmark
+        med = np.take_along_axis(
+            ds, np.broadcast_to(mid[:, None, None], (n, M, 1)), axis=2
+        )[..., 0]
         med = np.where(Vm, med, np.inf)
         best = np.argmin(med, axis=1)  # (n,)
         bd = D[np.arange(n), best]  # (n,8)

@@ -66,6 +66,27 @@ class BAResult:
     Xw: jax.Array
     obs_inlier: jax.Array  # (O,) post-gating inlier mask
     cost: jax.Array
+    # Slice-chaining state (see local_ba it0/inlier0/lam0).
+    inlier_carry: jax.Array = None
+    lam: jax.Array = None
+
+
+def _inv3x3_sym(H: jax.Array) -> jax.Array:
+    """Closed-form inverse of batched symmetric 3x3 blocks (...,3,3)."""
+    h00, h01, h02 = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    h11, h12, h22 = H[..., 1, 1], H[..., 1, 2], H[..., 2, 2]
+    c00 = h11 * h22 - h12 * h12
+    c01 = h02 * h12 - h01 * h22
+    c02 = h01 * h12 - h02 * h11
+    c11 = h00 * h22 - h02 * h02
+    c12 = h01 * h02 - h00 * h12
+    c22 = h00 * h11 - h01 * h01
+    det = h00 * c00 + h01 * c01 + h02 * c02
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    row0 = jnp.stack([c00, c01, c02], -1)
+    row1 = jnp.stack([c01, c11, c12], -1)
+    row2 = jnp.stack([c02, c12, c22], -1)
+    return jnp.stack([row0, row1, row2], -2) / det[..., None, None]
 
 
 def _residuals(p: BAProblem, R, t, Xw):
@@ -89,14 +110,22 @@ def _delta2(p: BAProblem):
     return jnp.where(p.obs_stereo, residuals.CHI2_STEREO, residuals.CHI2_MONO)
 
 
-@partial(jax.jit, static_argnames=("iters", "gate_at", "robust"))
+@partial(jax.jit, static_argnames=("iters", "gate_at", "robust", "it0"))
 def local_ba(
     p: BAProblem,
     iters: int = 10,
     gate_at: int = 5,
     robust: bool = True,
     damping_init: float = 1e-4,
+    it0: int = 0,
+    inlier0: jax.Array | None = None,
+    lam0: jax.Array | None = None,
 ) -> BAResult:
+    """One LM schedule (or a SLICE of one: pass it0/inlier0/lam0 from
+    the previous slice's result to chain short dispatches device-side —
+    the mapping stage slices its window BA so the tracker's per-frame
+    program never queues behind more than ~2 LM iterations of device
+    work on a single chip)."""
     K = p.R.shape[0]
     L = p.Xw.shape[0]
 
@@ -119,15 +148,15 @@ def local_ba(
 
     def step(carry, it):
         R, t, Xw, inlier, lam = carry
-        # Mid-schedule outlier gate (reference re-classifies after the
-        # first optimization pass).
-        r0, _, _, z0 = _residuals(p, R, t, Xw)
-        gate_now = it == gate_at
-        new_inlier = p.obs_valid & (_chi2(p, r0) <= _delta2(p)) & (z0 > 0)
-        inlier = jnp.where(gate_now, new_inlier, inlier)
-
         r, Jp, Jl, z = _residuals(p, R, t, Xw)
         chi2 = _chi2(p, r)
+        # Mid-schedule outlier gate (reference re-classifies after the
+        # first optimization pass) — from the residuals of THIS state,
+        # shared with the normal-equation build below.
+        gate_now = it == gate_at
+        new_inlier = p.obs_valid & (chi2 <= _delta2(p)) & (z > 0)
+        inlier = jnp.where(gate_now, new_inlier, inlier)
+
         active = inlier & p.obs_valid & (z > 0)
         w_huber = (
             residuals.huber_weight(chi2, _delta2(p)) if robust else jnp.ones_like(chi2)
@@ -152,11 +181,13 @@ def local_ba(
             jnp.einsum("ori,orj->oij", JpW, Jl)
         )
 
-        # Damped landmark blocks and their inverses.
+        # Damped landmark blocks and their inverses (explicit adjugate:
+        # batched-small jnp.linalg.inv lowers to a scalarized LU loop on
+        # TPU; the closed form is pure elementwise VPU work).
         dHll = Hll + (lam * jnp.einsum("lii->l", Hll) / 3.0 + 1e-9)[
             :, None, None
         ] * jnp.eye(3)
-        Hll_inv = jnp.linalg.inv(dHll)
+        Hll_inv = _inv3x3_sym(dHll)
         Hll_inv = jnp.where(p.lm_valid[:, None, None], Hll_inv, 0.0)
 
         # Schur complement on the MXU.
@@ -199,7 +230,17 @@ def local_ba(
             jnp.all(jnp.isfinite(dxc))
             & jnp.all(jnp.isfinite(dxl))
         )
-        cost_old = build_cost(R, t, Xw, inlier)
+        # cost_old from the already-computed residuals (no extra pass).
+        d2 = _delta2(p)
+        if robust:
+            rho = jnp.where(
+                chi2 <= d2,
+                chi2,
+                2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 0.0)) - d2,
+            )
+        else:
+            rho = chi2
+        cost_old = jnp.sum(jnp.where(active, rho, 0.0))
         cost_new = build_cost(R_new, t_new, Xw_new, inlier)
         accept = ok & (cost_new < cost_old)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 4.0, 1e2))
@@ -208,11 +249,19 @@ def local_ba(
         Xw = jnp.where(accept, Xw_new, Xw)
         return (R, t, Xw, inlier, lam), cost_old
 
-    init = (p.R, p.t, p.Xw, p.obs_valid, jnp.float32(damping_init))
-    (R, t, Xw, inlier, _), costs = jax.lax.scan(step, init, jnp.arange(iters))
+    init = (
+        p.R, p.t, p.Xw,
+        p.obs_valid if inlier0 is None else inlier0,
+        jnp.float32(damping_init) if lam0 is None else lam0,
+    )
+    (R, t, Xw, inlier, lam), costs = jax.lax.scan(
+        step, init, jnp.arange(it0, it0 + iters)
+    )
     # Final inlier classification.
     r, _, _, z = _residuals(p, R, t, Xw)
     inlier_final = p.obs_valid & (_chi2(p, r) <= _delta2(p)) & (z > 0)
     return BAResult(
-        R=R, t=t, Xw=Xw, obs_inlier=inlier_final, cost=build_cost(R, t, Xw, inlier_final)
+        R=R, t=t, Xw=Xw, obs_inlier=inlier_final,
+        cost=build_cost(R, t, Xw, inlier_final),
+        inlier_carry=inlier, lam=lam,
     )

@@ -129,25 +129,27 @@ class KeyFrameDatabase:
         covisibility group, src/KeyFrameDatabase.cc:629)."""
         if self.codebook is None or not self.present.any():
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
-        P = self.hists[self.present]
+        rows = np.nonzero(self.present)[0]
+        scores = self._scores(hist, rows)
+        if exclude is not None and len(exclude):
+            scores[np.isin(rows, np.asarray(exclude, np.int64))] = -1.0
+        order = np.argsort(-scores)[:n_best]
+        keep = scores[order] > min_score
+        return rows[order[keep]], scores[order][keep]
+
+    def _scores(self, hist: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        """idf-weighted centered cosine of `hist` against the present
+        rows (everything sized by n_present, NOT the keyframe capacity —
+        full-capacity traversals cost ~40 ms per query at 16k slots)."""
+        P = self.hists[rows]
         mean = P.mean(axis=0)
         df = (P > 0).sum(axis=0)
         idf = np.log((1.0 + len(P)) / (1.0 + df)).astype(np.float32)
-
-        def embed(h):
-            e = (h - mean) * idf
-            return e / max(np.linalg.norm(e), 1e-9)
-
-        q = embed(hist)
-        emb = (self.hists - mean) * idf
+        e = (hist - mean) * idf
+        q = e / max(np.linalg.norm(e), 1e-9)
+        emb = (P - mean) * idf
         norms = np.maximum(np.linalg.norm(emb, axis=1), 1e-9)
-        scores = (emb @ q) / norms
-        scores[~self.present] = -1.0
-        if exclude is not None and len(exclude):
-            scores[np.asarray(exclude, np.int64)] = -1.0
-        order = np.argsort(-scores)[:n_best]
-        keep = scores[order] > min_score
-        return order[keep], scores[order][keep]
+        return (emb @ q) / norms
 
     def query_groups(
         self,
@@ -171,31 +173,24 @@ class KeyFrameDatabase:
         lives in each map's graph)."""
         if self.codebook is None or not self.present.any():
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
-        P = self.hists[self.present]
-        mean = P.mean(axis=0)
-        df = (P > 0).sum(axis=0)
-        idf = np.log((1.0 + len(P)) / (1.0 + df)).astype(np.float32)
-        e = (hist - mean) * idf
-        q = e / max(np.linalg.norm(e), 1e-9)
-        emb = (self.hists - mean) * idf
-        norms = np.maximum(np.linalg.norm(emb, axis=1), 1e-9)
-        scores = (emb @ q) / norms
-        scores[~self.present] = -1.0
+        rows = np.nonzero(self.present)[0]
+        sub_scores = self._scores(hist, rows)
         if exclude is not None and len(exclude):
-            scores[np.asarray(exclude, np.int64)] = -1.0
+            sub_scores[np.isin(rows, np.asarray(exclude, np.int64))] = -1.0
+        # Global-row score lookup for the covisible-group accumulation.
+        scores = np.full(self.hists.shape[0], -1.0, np.float32)
+        scores[rows] = sub_scores
 
-        shared = (self.hists > 0).astype(np.float32) @ (hist > 0).astype(
-            np.float32
-        )
-        shared[~self.present] = 0
-        if exclude is not None and len(exclude):
-            shared[np.asarray(exclude, np.int64)] = 0
-        mx = shared.max()
+        shared_sub = (self.hists[rows] > 0).astype(np.float32) @ (
+            hist > 0
+        ).astype(np.float32)
+        shared_sub[sub_scores < 0] = 0
+        mx = shared_sub.max() if len(shared_sub) else 0.0
         if mx < 1:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
-        cand = np.nonzero(
-            (shared > shared_word_frac * mx) & (scores > min_score)
-        )[0]
+        cand = rows[
+            (shared_sub > shared_word_frac * mx) & (sub_scores > min_score)
+        ]
         if len(cand) == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
         cand_set = set(int(c) for c in cand)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +89,89 @@ def _proj_count(
         max_dist=matching.TH_HIGH, ratio=0.95, level_band=1,
     )
     return jnp.sum(mok.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("fix_scale",))
+def _validate_candidate_fused(
+    bits_k, bound_k, angle_k, pc_k_all, uv_k_all, sig_k_all,
+    bits_c, bound_c, angle_c, pc_c_all, uv_c_all, sig_c_all,
+    w_desc, w_pos, w_maxd, w_ok,
+    R_c, t_c,
+    kf_desc_k, kf_xy_k, kf_level_k, kf_valid_k,
+    key, fx, fy, cx, cy, width, height,
+    fix_scale: bool,
+):
+    """The WHOLE geometric loop-candidate validation as ONE device
+    program: BoW-style matching -> Sim3 RANSAC -> Sim3 GN refine ->
+    guided projection count (the chain the reference runs across
+    Sim3Solver + OptimizeSim3 + SearchByProjection,
+    src/LoopClosing.cc:632-646). As four separate dispatches each
+    synchronous fetch paid the tunneled ~25 ms RTT; validation runs at
+    nearly every keyframe on the revisit half of a loopy trajectory, so
+    the stage cost directly gates mapping throughput. Downstream stages
+    compute on garbage when an upstream gate fails — the host applies
+    the thresholds to the returned counters instead of branching
+    mid-program.
+
+    pc_*_all/uv_*_all/sig_*_all are PER-FEATURE tables (landmark
+    camera-frame position / centered pixel / sigma^2 of the feature's
+    bound landmark, zeros where unbound) so all match-dependent gathers
+    happen on device. w_* are the candidate's window landmarks padded
+    to a fixed cap for the projection count."""
+    from ..ops import ransac as _ransac
+    from ..optim import sim3_opt as _sim3_opt
+    from ..models.map_state import SCALE_FACTOR as _SF
+
+    dist = matching.hamming_matrix(bits_k, bits_c)
+    idx, ok = matching.match_nn(
+        dist, bound_k, bound_c, max_dist=matching.TH_LOW, ratio=0.75,
+        cross_check=True,
+    )
+    ok = matching.rotation_consistency(angle_k, angle_c, idx, ok)
+    n_bow = jnp.sum(ok.astype(jnp.int32))
+
+    pc_k = pc_k_all
+    pc_c = pc_c_all[idx]
+    s0, R0, t0, _, n_ransac, ok_r = _ransac.sim3_ransac(
+        pc_c, pc_k, ok, key, fix_scale=fix_scale
+    )
+    res = _sim3_opt.optimize_sim3(
+        s0, R0, t0, pc_k, pc_c, uv_k_all, uv_c_all[idx],
+        sig_k_all, sig_c_all[idx], ok, fx, fy, fix_scale=fix_scale,
+    )
+    s, R, t = res.s, res.R, res.t
+
+    # Corrected pose S_kw = S_kc o T_cw; project the candidate window.
+    R_kw = R @ R_c
+    t_kw = s * (R @ t_c) + t
+    pc = (w_pos @ R_kw.T) * s + t_kw
+    z = pc[:, 2]
+    zs = jnp.maximum(z, 1e-6)
+    u = fx * pc[:, 0] / zs + cx
+    v = fy * pc[:, 1] / zs + cy
+    okp = (
+        w_ok & (z > 0.05)
+        & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    )
+    uv = jnp.stack([u, v], -1)
+    # PredictScale + scale-banded radius (MapPoint::PredictScale,
+    # src/MapPoint.cc:557) with distances in candidate-map units.
+    dist_w = jnp.linalg.norm(pc, axis=-1) / jnp.maximum(s, 1e-9)
+    ratio = jnp.maximum(w_maxd / jnp.maximum(dist_w, 1e-9), 1e-9)
+    lvl = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(_SF)), 0, N_LEVELS - 1
+    ).astype(jnp.int32)
+    rad = (8.0 * _SF ** lvl.astype(jnp.float32)).astype(jnp.float32)
+    idx_p, mok_p = matching.search_by_projection(
+        _unpack_bits(w_desc), okp, uv, lvl,
+        _unpack_bits(kf_desc_k), kf_xy_k, kf_level_k, kf_valid_k, rad,
+        max_dist=matching.TH_HIGH, ratio=0.95, level_band=1,
+    )
+    n_proj = jnp.sum(mok_p.astype(jnp.int32))
+    return dict(
+        n_bow=n_bow, ok_r=ok_r, n_ransac=n_ransac,
+        s=s, R=R, t=t, n_opt=res.n_inliers, n_proj=n_proj,
+    )
 
 
 @dataclasses.dataclass
@@ -504,83 +588,82 @@ class LoopCloser:
         # the 2x256 KB bit uploads dominated that cost).
         st_k = self._dev_rows(k, m)
         st_c = self._dev_rows(c, m_c)
-        idx, ok = _match_loop_pair(
+
+        # Per-FEATURE tables of the bound landmark's geometry so every
+        # match-dependent gather happens inside the fused program
+        # (zeros where unbound; masked by `bound_*` device-side).
+        def feat_tables(mm, kf, lm, bound):
+            pc = np.zeros((lm.shape[0], 3), np.float32)
+            pc[bound] = mm.lm_pos[lm[bound]] @ mm.kf_R[kf].T + mm.kf_t[kf]
+            uv = (mm.kf_xy[kf] - [self.cx, self.cy]).astype(np.float32)
+            sig = self._sigma2(mm.kf_level[kf])
+            return pc, uv, sig
+
+        pc_k, uv_k, sig_k = feat_tables(m, k, lm_k, bound_k)
+        pc_c, uv_c, sig_c = feat_tables(m_c, c, lm_c, bound_c)
+
+        # Candidate-window landmarks for the guided-projection count.
+        lms = self._loop_window_landmarks(c, m_c)
+        n = min(len(lms), _PROJ_CAP)
+        pad = _PROJ_CAP - n
+
+        def padf(x, fill=0):
+            x = x[:n]
+            return np.concatenate(
+                [x, np.full((pad, *x.shape[1:]), fill, x.dtype)]
+            )
+
+        key = self._put(
+            np.asarray([0, self._rng.integers(2**31)], np.uint32)
+        )
+        out = _validate_candidate_fused(
             _unpack_bits(st_k.desc[k]) if st_k is not None
             else self._put(self._kf_bits(k)),
             self._put(bound_k),
             st_k.angle[k] if st_k is not None else self._put(m.kf_angle[k]),
+            self._put(pc_k), self._put(uv_k), self._put(sig_k),
             _unpack_bits(st_c.desc[c]) if st_c is not None
             else self._put(self._kf_bits(c, m_c)),
             self._put(bound_c),
             st_c.angle[c] if st_c is not None
             else self._put(m_c.kf_angle[c]),
+            self._put(pc_c), self._put(uv_c), self._put(sig_c),
+            self._put(padf(m_c.lm_desc[lms])),
+            self._put(padf(m_c.lm_pos[lms]).astype(np.float32)),
+            self._put(padf(m_c.lm_max_dist[lms], 1.0)),
+            self._put(padf(np.ones(n, bool), False)),
+            self._put(m_c.kf_R[c]), self._put(m_c.kf_t[c]),
+            st_k.desc[k] if st_k is not None else self._put(m.kf_desc[k]),
+            st_k.xy[k] if st_k is not None else self._put(m.kf_xy[k]),
+            st_k.level[k] if st_k is not None else self._put(m.kf_level[k]),
+            st_k.valid[k] if st_k is not None
+            else self._put(m.kf_feat_valid[k]),
+            key, self.fx, self.fy, self.cx, self.cy,
+            float(2 * self.cx), float(2 * self.cy),
+            fix_scale=cfg.fix_scale,
         )
-        idx, ok = np.asarray(idx), np.asarray(ok)
-        sel = np.nonzero(ok)[0]
-        if len(sel) < cfg.min_bow_matches:
-            log.debug("cand KF %d: %d bow matches < %d", c, len(sel),
+        out = jax.device_get(out)
+        n_bow = int(out["n_bow"])
+        if n_bow < cfg.min_bow_matches:
+            log.debug("cand KF %d: %d bow matches < %d", c, n_bow,
                       cfg.min_bow_matches)
             return None
-
-        # Matched landmark positions in each camera frame (each from its
-        # own map's coordinates). Buffers stay at the full feature
-        # capacity with a validity mask so the Sim3 solvers compile once
-        # (a sel-sized shape would recompile nearly every candidate).
-        N = lm_k.shape[0]
-        ns = len(sel)
-        mask = np.zeros(N, bool)
-        mask[:ns] = True
-        pc_k = np.zeros((N, 3), np.float32)
-        pc_c = np.zeros((N, 3), np.float32)
-        pc_k[:ns] = m.lm_pos[lm_k[sel]] @ m.kf_R[k].T + m.kf_t[k]
-        pc_c[:ns] = m_c.lm_pos[lm_c[idx[sel]]] @ m_c.kf_R[c].T + m_c.kf_t[c]
-
-        # Raw threefry key placed with the solver inputs (PRNGKey would
-        # materialize on the default device and force a cross-device
-        # transfer into the CPU-pinned program).
-        key = self._put(
-            np.asarray([0, self._rng.integers(2**31)], np.uint32)
-        )
-        s0, R0, t0, inl, n_inl, ok_r = ransac.sim3_ransac(
-            self._put(pc_c), self._put(pc_k),
-            self._put(mask), key, fix_scale=cfg.fix_scale,
-        )
-        if not bool(ok_r) or int(n_inl) < cfg.min_ransac_inliers:
+        if not bool(out["ok_r"]) or int(out["n_ransac"]) < cfg.min_ransac_inliers:
             log.debug("cand KF %d: sim3 ransac %d inl (ok=%s)", c,
-                      int(n_inl), bool(ok_r))
+                      int(out["n_ransac"]), bool(out["ok_r"]))
             return None
-
-        # GN refinement with bidirectional reprojection.
-        uv_k = np.zeros((N, 2), np.float32)
-        uv_c = np.zeros((N, 2), np.float32)
-        uv_k[:ns] = m.kf_xy[k, sel] - [self.cx, self.cy]
-        uv_c[:ns] = m_c.kf_xy[c, idx[sel]] - [self.cx, self.cy]
-        sig_k = np.ones(N, np.float32)
-        sig_c = np.ones(N, np.float32)
-        sig_k[:ns] = self._sigma2(m.kf_level[k, sel])
-        sig_c[:ns] = self._sigma2(m_c.kf_level[c, idx[sel]])
-        res = sim3_opt.optimize_sim3(
-            s0, R0, t0,
-            self._put(pc_k), self._put(pc_c),
-            self._put(uv_k), self._put(uv_c),
-            self._put(sig_k), self._put(sig_c),
-            self._put(mask),
-            self.fx, self.fy, fix_scale=cfg.fix_scale,
-        )
-        if int(res.n_inliers) < cfg.min_sim3_inliers:
-            log.debug("cand KF %d: sim3 refine %d inl", c, int(res.n_inliers))
+        if int(out["n_opt"]) < cfg.min_sim3_inliers:
+            log.debug("cand KF %d: sim3 refine %d inl", c, int(out["n_opt"]))
             return None
-        s, R, t = float(res.s), np.asarray(res.R), np.asarray(res.t)
-
-        # Guided projection: candidate-window landmarks into KF k.
-        n_proj = self._projection_matches(k, c, s, R, t, m_c)
+        s, R, t = float(out["s"]), np.asarray(out["R"]), np.asarray(out["t"])
+        n_proj = int(out["n_proj"])
         if n_proj < cfg.min_proj_weak:
             log.debug("cand KF %d: %d proj matches < %d", c, n_proj,
                       cfg.min_proj_weak)
             return None
         log.info(
             "loop candidate KF %d -> %d: %d bow, %d sim3 inl, %d proj",
-            k, c, len(sel), int(res.n_inliers), n_proj,
+            k, c, n_bow, int(out["n_opt"]), n_proj,
         )
         return s, R, t, n_proj
 

@@ -31,6 +31,7 @@ import dataclasses
 import enum
 import logging
 import threading
+import time
 from functools import partial
 
 import jax
@@ -2723,7 +2724,13 @@ class Tracker:
         elif not interrupted or overdue:
             window = [k] + [int(x) for x in neigh[: self.cfg.ba_kf_cap - 1]]
             with self.timers.span("map_local_ba"):
-                self._local_ba(window)
+                # 6 LM iterations: the reference's per-KF window BA is a
+                # 5-iteration pass plus 10 more only when uninterrupted
+                # (src/Optimizer.cc:1350-1364); the window re-optimizes
+                # at every KF so the marginal value of a long tail is
+                # small, and each iteration costs ~10 ms of shared-chip
+                # device time the tracker also needs.
+                self._local_ba(window, iters=6)
             self._last_ba_at = self.n_kf_inserted
 
         # IMU initialization ladder (LocalMapping::Run :232-286). On the
@@ -3689,24 +3696,21 @@ class Tracker:
         lm_lookup = np.full(m.cfg.max_landmarks, -1, np.int64)
         lm_lookup[lms] = np.arange(len(lms))
 
-        # Gather observations.
-        o_kf, o_lm, o_uv, o_sig, o_ur, o_st = [], [], [], [], [], []
-        for ki, k in enumerate(kfs):
-            li = lm_lookup[np.maximum(m.kf_lm_idx[k], 0)]
-            sel = (m.kf_lm_idx[k] >= 0) & (li >= 0)
-            f = np.nonzero(sel)[0]
-            o_kf.append(np.full(len(f), ki))
-            o_lm.append(li[f])
-            o_uv.append(m.kf_xy[k, f] - [self.cx, self.cy])
-            o_sig.append(self._feat_sigma2(m.kf_level[k, f]))
-            o_ur.append(m.kf_ur[k, f] - self.cx)
-            o_st.append(m.kf_ur[k, f] >= 0)
-        o_kf = np.concatenate(o_kf)
-        o_lm = np.concatenate(o_lm)
-        o_uv = np.concatenate(o_uv).astype(np.float32)
-        o_sig = np.concatenate(o_sig)
-        o_ur = np.concatenate(o_ur).astype(np.float32)
-        o_st = np.concatenate(o_st)
+        # Gather observations (batched over the whole window — a per-KF
+        # Python loop here costs ~10 ms of GIL-holding host time per
+        # mapping step).
+        lm_sub = m.kf_lm_idx[kfs]  # (Kk, N)
+        li = lm_lookup[np.maximum(lm_sub, 0)]
+        sel2 = (lm_sub >= 0) & (li >= 0)
+        ki_idx, f_idx = np.nonzero(sel2)
+        kf_rows = kfs[ki_idx]
+        o_kf = ki_idx
+        o_lm = li[ki_idx, f_idx]
+        o_uv = (m.kf_xy[kf_rows, f_idx] - [self.cx, self.cy]).astype(np.float32)
+        o_sig = self._feat_sigma2(m.kf_level[kf_rows, f_idx])
+        ur_raw = m.kf_ur[kf_rows, f_idx]
+        o_ur = (ur_raw - self.cx).astype(np.float32)
+        o_st = ur_raw >= 0
         O_n = cfg.ba_obs_cap
         if len(o_kf) > O_n:
             keep = np.random.default_rng(0).permutation(len(o_kf))[:O_n]
@@ -3721,30 +3725,47 @@ class Tracker:
             return np.concatenate([x, np.full((pad_k, *x.shape[1:]), fill, x.dtype)])
 
         prob = BAProblem(
-            R=self._offstream_put(padk(m.kf_R[kfs])),
-            t=self._offstream_put(padk(m.kf_t[kfs])),
-            kf_valid=self._offstream_put(np.concatenate([np.ones(len(kfs), bool), np.zeros(pad_k, bool)])),
-            kf_fixed=self._offstream_put(np.concatenate([kf_fixed, np.ones(pad_k, bool)])),
-            Xw=self._offstream_put(np.concatenate([m.lm_pos[lms], np.zeros((pad_l, 3), np.float32)])),
-            lm_valid=self._offstream_put(np.concatenate([np.ones(len(lms), bool), np.zeros(pad_l, bool)])),
-            obs_kf=self._offstream_put(np.concatenate([o_kf, np.zeros(pad_o)]).astype(np.int32)),
-            obs_lm=self._offstream_put(np.concatenate([o_lm, np.zeros(pad_o)]).astype(np.int32)),
-            obs_uvr=self._offstream_put(
+            R=self._mput(padk(m.kf_R[kfs])),
+            t=self._mput(padk(m.kf_t[kfs])),
+            kf_valid=self._mput(np.concatenate([np.ones(len(kfs), bool), np.zeros(pad_k, bool)])),
+            kf_fixed=self._mput(np.concatenate([kf_fixed, np.ones(pad_k, bool)])),
+            Xw=self._mput(np.concatenate([m.lm_pos[lms], np.zeros((pad_l, 3), np.float32)])),
+            lm_valid=self._mput(np.concatenate([np.ones(len(lms), bool), np.zeros(pad_l, bool)])),
+            obs_kf=self._mput(np.concatenate([o_kf, np.zeros(pad_o)]).astype(np.int32)),
+            obs_lm=self._mput(np.concatenate([o_lm, np.zeros(pad_o)]).astype(np.int32)),
+            obs_uvr=self._mput(
                 np.concatenate(
                     [np.concatenate([o_uv, o_ur[:, None]], 1),
                      np.zeros((pad_o, 3), np.float32)]
                 )
             ),
-            obs_sigma2=self._offstream_put(np.concatenate([o_sig, np.ones(pad_o, np.float32)])),
-            obs_stereo=self._offstream_put(np.concatenate([o_st, np.zeros(pad_o, bool)])),
-            obs_valid=self._offstream_put(np.concatenate([np.ones(len(o_kf), bool), np.zeros(pad_o, bool)])),
-            fx=self._offstream_put(np.float32(self.fx)),
-            fy=self._offstream_put(np.float32(self.fy)),
-            bf=self._offstream_put(np.float32(self.cfg.bf)),
+            obs_sigma2=self._mput(np.concatenate([o_sig, np.ones(pad_o, np.float32)])),
+            obs_stereo=self._mput(np.concatenate([o_st, np.zeros(pad_o, bool)])),
+            obs_valid=self._mput(np.concatenate([np.ones(len(o_kf), bool), np.zeros(pad_o, bool)])),
+            fx=self._mput(np.float32(self.fx)),
+            fy=self._mput(np.float32(self.fy)),
+            bf=self._mput(np.float32(self.cfg.bf)),
         )
         from ..optim.local_ba import local_ba as run_ba
 
-        res = run_ba(prob, iters=iters, gate_at=iters // 2)
+        # Sliced dispatch: the whole LM schedule as ONE program occupies
+        # the single chip for its full duration and any tracker frame
+        # dispatched meanwhile queues behind it (the p99 latency spikes
+        # of BENCH_r02). Two-iteration slices chained device-side (no
+        # host fetch between slices) bound the tracker's queue wait to
+        # ~one slice; the short sleep paces the dispatches so the queue
+        # never holds more than ~2 slices.
+        n_slice = 2
+        res = None
+        for it0 in range(0, iters, n_slice):
+            res = run_ba(
+                prob, iters=min(n_slice, iters - it0), gate_at=iters // 2,
+                it0=it0,
+                inlier0=None if res is None else res.inlier_carry,
+                lam0=None if res is None else res.lam,
+            )
+            if it0 + n_slice < iters and self.worker is not None:
+                time.sleep(0.012)
         R_new, t_new, X_new = jax.device_get((res.R, res.t, res.Xw))
         R_new = np.asarray(R_new)[: len(kfs)]
         t_new = np.asarray(t_new)[: len(kfs)]

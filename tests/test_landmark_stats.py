@@ -26,7 +26,10 @@ def _reference_stats(m, lm):
     D = np.array(descs)
     x = D[:, None, :] ^ D[None, :, :]
     dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
-    med = np.median(dist, axis=1)
+    # Lower-middle median, exactly as the reference: vDists[0.5*(N-1)]
+    # (src/MapPoint.cc:438) — NOT np.median's average-of-middles.
+    ds = np.sort(dist, axis=1)
+    med = ds[:, (dist.shape[1] - 1) // 2]
     best = int(np.argmin(med))
     normal = np.mean(dirs, axis=0)
     normal = normal / max(np.linalg.norm(normal), 1e-9)
