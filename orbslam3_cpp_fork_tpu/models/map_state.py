@@ -541,15 +541,16 @@ class MapState:
         ks_all = np.nonzero(obs_sub.any(axis=1))[0]
         if len(ks_all) == 0:
             return
-        # Feature index of each (kf, lm) pair via per-KF lookup rows.
-        lut = np.full((len(ks_all), self.cfg.max_landmarks), -1, np.int32)
-        for row, k in enumerate(ks_all):  # K rows, vectorized inner
-            sel = self.kf_lm_idx[k] >= 0
-            lut[row, self.kf_lm_idx[k][sel]] = np.nonzero(sel)[0]
-        rows, cols = np.nonzero(obs_sub[ks_all])  # pairs (row into ks_all, col into ids)
-        feats = lut[rows, ids[cols]]
-        good = feats >= 0
-        rows, cols, feats = rows[good], cols[good], feats[good]
+        # Feature index of each (kf, lm) pair: one landmark->column
+        # lookup + one (K_obs, n_features) gather over the observing
+        # keyframes' binding rows (a per-KF row of max_landmarks LUT
+        # slots here cost ~10 ms of GIL-holding host time per call).
+        col_of = np.full(self.cfg.max_landmarks, -1, np.int32)
+        col_of[ids] = np.arange(len(ids), dtype=np.int32)
+        lm_sub = self.kf_lm_idx[ks_all]  # (K_obs, F)
+        ci = np.where(lm_sub >= 0, col_of[np.maximum(lm_sub, 0)], -1)
+        rows, feats = np.nonzero(ci >= 0)
+        cols = ci[rows, feats]
         if len(rows) == 0:
             return
         p_kf = ks_all[rows]

@@ -791,8 +791,14 @@ class Tracker:
         )
 
         self.max_maps = 16
+        # The word-assignment matvec ALWAYS runs on the host CPU backend:
+        # it is a ~3 ms program there, while on a tunneled accelerator
+        # the synchronous fetch alone costs the ~25 ms link RTT — per
+        # keyframe, on the mapping stage (measured: the single largest
+        # component of the r03 map_loop stage mean).
         self.kfdb = KeyFrameDatabase(
-            self.max_maps * cfg.map_cfg.max_keyframes, device=self._map_dev
+            self.max_maps * cfg.map_cfg.max_keyframes,
+            device=self._map_dev or self._cpu_dev,
         )
         fix_scale = cfg.sensor != Sensor.MONOCULAR
         self.loop_closer = (
@@ -849,6 +855,11 @@ class Tracker:
             cfg.map_cfg.max_keyframes, cfg.orb.n_features
         )
         self._last_ba_at = 0  # n_kf_inserted at the last local BA
+        # Per-KF scene median depth cache (triangulation baseline gate);
+        # invalidated whenever the map moves wholesale (loop correction,
+        # merge, IMU gravity/scale alignment — all bump big_change_idx).
+        self._kf_med_depth = np.zeros(cfg.map_cfg.max_keyframes, np.float32)
+        self._kf_med_depth_ver = (-1, -1)  # (map_id, big_change_idx)
         if self.loop_closer is not None and self._map_dev is None:
             # Share the device keyframe store with loop detection (only
             # when loop solvers run on the same (default) device).
@@ -1409,6 +1420,7 @@ class Tracker:
         self.velocity = None
         self.ref_kf = -1
         self.n_kf_inserted = 0
+        self._kf_med_depth[:] = 0.0  # slots reused by the fresh map
         if self.inertial:
             self._reset_vi_runtime()
 
@@ -2654,7 +2666,17 @@ class Tracker:
             seen = m.kf_lm_idx[k][m.kf_lm_idx[k] >= 0]
             m.update_landmark_stats(np.unique(seen))
             if self.loop_closer is not None:
-                self.loop_closer.process_keyframe(k, detect=False)
+                # Full detection even in catch-up mode: the reference's
+                # LoopClosing runs NewDetectCommonRegions on every queued
+                # KF (src/LoopClosing.cc:110-126) — skipping fresh
+                # queries under backlog starved detection exactly on the
+                # busy revisit legs (r03: 0 loops closed on a 2.3pi
+                # ring).
+                merge = self.loop_closer.process_keyframe(k)
+                if merge is not None:
+                    # Merges rewrite live tracking state: hand back to
+                    # the track thread (executed at the next frame).
+                    self._pending_merge = (k, merge)
             else:
                 self.kfdb.add(self._gid(k), self._kf_bits(k), m.kf_feat_valid[k])
         log.info(
@@ -2672,19 +2694,23 @@ class Tracker:
         if m is not self.map or not m.kf_valid[k]:
             return  # map was reset/replaced since submission
 
-        # Update stats of observed landmarks.
-        seen = m.kf_lm_idx[k][m.kf_lm_idx[k] >= 0]
-        m.update_landmark_stats(np.unique(seen))
-
-        new_ids: list[int] = []
-        # New landmarks by epipolar triangulation vs covisible KFs —
-        # all neighbor pairs in one device program.
+        backlog = self.worker.q.qsize() if self.worker is not None else 0
+        interrupted = backlog > 0
         neigh, _ = m.covisible_keyframes(k, min_weight=15, top=self.cfg.local_window_kfs)
-        with self.timers.span("map_triangulate"):
-            new_ids = self._triangulate_new_batch(k, neigh)
-        if new_ids:
-            m.update_landmark_stats(np.asarray(new_ids))
 
+        # Dispatch BOTH mapping device programs up front: they queue
+        # back-to-back on the device stream and compute while the host
+        # runs the cheap stages below — on a tunneled device each
+        # synchronous fetch costs a full link RTT, so the serial
+        # dispatch->block->apply chain of one stage used to hide the
+        # next stage's compute window entirely. Deviation from the
+        # reference's triangulate-then-fuse order: fusion projects the
+        # PRE-triangulation landmark set, so this keyframe's brand-new
+        # points get their duplicate check one keyframe later (via the
+        # next KF's neighborhood pass) — the dedup is the same, one
+        # round delayed.
+        with self.timers.span("map_triangulate_dispatch"):
+            tri = self._triangulate_dispatch(k, neigh)
         # The InterruptBA analog: the reference runs local BA and
         # keyframe culling ONLY when no further keyframe is queued
         # (src/LocalMapping.cc:136-241 `if (!CheckNewKeyFrames())`), so
@@ -2695,17 +2721,31 @@ class Tracker:
         # while duplicate fusion and redundancy culling are quality
         # passes the next uncongested keyframe re-runs over the same
         # neighborhood.
-        backlog = self.worker.q.qsize() if self.worker is not None else 0
-        interrupted = backlog > 0
+        fuse = None
         if backlog < 2:
-            # Fuse duplicate landmarks with the covisibility
-            # neighborhood (LocalMapping::SearchInNeighbors,
-            # src/LocalMapping.cc:743).
             with self.map_lock:
-                with self.timers.span("map_fuse"):
-                    self._search_in_neighbors(k)
+                with self.timers.span("map_fuse_dispatch"):
+                    fuse = self._fuse_dispatch(k)
 
-                # Cull weak recent landmarks (MapPointCulling :382-416).
+        # --- host stages overlapped with the device programs ---------
+        # Refresh normals/descriptors of the tracked bindings
+        # (ProcessNewKeyFrame's UpdateNormalAndDepth,
+        # src/LocalMapping.cc:341) while the device programs compute.
+        seen = m.kf_lm_idx[k][m.kf_lm_idx[k] >= 0]
+        m.update_landmark_stats(np.unique(seen))
+
+        new_ids: list[int] = []
+        with self.timers.span("map_triangulate"):
+            new_ids = self._triangulate_apply(tri)
+        if new_ids:
+            m.update_landmark_stats(np.asarray(new_ids))
+
+        if fuse is not None:
+            with self.timers.span("map_fuse"):
+                self._fuse_apply(fuse)
+        if backlog < 2:
+            # Cull weak recent landmarks (MapPointCulling :382-416).
+            with self.map_lock:
                 with self.timers.span("map_cull_lm"):
                     self._cull_landmarks()
         # Live re-check right before the optimization (InterruptBA,
@@ -2719,18 +2759,22 @@ class Tracker:
             self.worker is not None and not self.worker.q.empty()
         )
         overdue = self.n_kf_inserted - self._last_ba_at >= 2
+        ba_ctx = None
         if self.inertial and m.imu_stage >= 1:
             self._local_inertial_ba(k)
         elif not interrupted or overdue:
             window = [k] + [int(x) for x in neigh[: self.cfg.ba_kf_cap - 1]]
-            with self.timers.span("map_local_ba"):
+            with self.timers.span("map_local_ba_dispatch"):
                 # 6 LM iterations: the reference's per-KF window BA is a
                 # 5-iteration pass plus 10 more only when uninterrupted
                 # (src/Optimizer.cc:1350-1364); the window re-optimizes
                 # at every KF so the marginal value of a long tail is
                 # small, and each iteration costs ~10 ms of shared-chip
-                # device time the tracker also needs.
-                self._local_ba(window, iters=6)
+                # device time the tracker also needs. The solve runs
+                # while keyframe culling executes on the host; the
+                # write-back lands before loop detection (whose Sim3
+                # validation wants the polished poses).
+                ba_ctx = self._local_ba_dispatch(window, iters=6)
             self._last_ba_at = self.n_kf_inserted
 
         # IMU initialization ladder (LocalMapping::Run :232-286). On the
@@ -2754,20 +2798,28 @@ class Tracker:
             else:
                 self._imu_ladder(frame, k)
 
-        # Redundant-keyframe culling (LocalMapping::KeyFrameCulling).
+        # Redundant-keyframe culling (LocalMapping::KeyFrameCulling) —
+        # host work overlapped with the BA solve.
         if not interrupted:
             with self.map_lock:
                 with self.timers.span("map_cull_kf"):
                     self._cull_keyframes(k)
 
+        if ba_ctx is not None:
+            with self.timers.span("map_local_ba"):
+                self._local_ba_apply(ba_ctx)
+
         # Place recognition: loop detection/correction, then register the
         # keyframe in the database (LoopClosing::InsertKeyFrame handoff).
+        # Detection runs on EVERY keyframe regardless of backlog — the
+        # reference's LoopClosing thread consumes its whole queue and
+        # never trades detection away (src/LoopClosing.cc:110-126); with
+        # the word-assignment matvec on the host CPU backend the
+        # no-candidate case costs ~5 ms.
         if self.loop_closer is not None:
             big0 = m.big_change_idx
             with self.timers.span("map_loop"):
-                merge = self.loop_closer.process_keyframe(
-                    k, detect=backlog < 3
-                )
+                merge = self.loop_closer.process_keyframe(k)
             if merge is not None:
                 if self.worker is not None:
                     # Merges rewrite live tracking state: hand back to
@@ -3328,34 +3380,64 @@ class Tracker:
         m.add_observation(k, take, ids)
         return [int(i) for i in ids]
 
+    def _scene_median_depth(self, k: int) -> float:
+        """Median depth of a keyframe's bound landmarks in its own frame
+        (KeyFrame::ComputeSceneMedianDepth) — cached per KF in
+        `_kf_med_depth` for the triangulation baseline gate."""
+        m = self.map
+        lm2 = m.kf_lm_idx[k]
+        lm2 = lm2[lm2 >= 0]
+        if len(lm2) == 0:
+            return 1.0
+        z = m.lm_pos[lm2] @ m.kf_R[k][2] + m.kf_t[k][2]
+        return max(float(np.median(z)), 1e-6)
+
     def _triangulate_new_batch(self, k1: int, neigh) -> list[int]:
-        """Triangulate new landmarks between keyframe k1 and its
-        covisible neighbors — all pairs in one fused_triangulate_batch
-        dispatch (padded to local_window_kfs rows so the program
-        compiles once), then host-side slot allocation with cross-pair
-        feature dedup (the sequential reference binds a feature at its
-        first successful pair, LocalMapping::CreateNewMapPoints)."""
+        """Synchronous triangulation (dispatch + apply back to back) —
+        used by the frame-synchronous mapping path; the worker overlaps
+        the two halves with the rest of the mapping step."""
+        ctx = self._triangulate_dispatch(k1, neigh)
+        return self._triangulate_apply(ctx)
+
+    def _triangulate_dispatch(self, k1: int, neigh):
+        """Dispatch half of the covisible-pair triangulation
+        (LocalMapping::CreateNewMapPoints): upload keyframe rows and
+        enqueue ONE fused_triangulate_batch program for all neighbor
+        pairs, returning the un-fetched device handles. On a tunneled
+        device the fetch costs a full link RTT — the caller runs the
+        mapping step's host-side stages while the program computes,
+        then calls _triangulate_apply."""
         m = self.map
         T = self.cfg.local_window_kfs
         ks = [int(x) for x in neigh[:T]]
         if not ks:
-            return []
+            return None
         # Baseline-vs-depth gate per pair (reference skips short
-        # baselines).
+        # baselines, ratio vs the neighbor's scene median depth —
+        # LocalMapping::CreateNewMapPoints). The neighbor's median depth
+        # comes from a per-KF cache refreshed when that KF was mapped:
+        # the 0.01 gate is coarse, so a few-KFs-stale median is
+        # equivalent, and the fresh per-neighbor median loop cost
+        # ~20 ms of host time per mapping step.
         c1 = -m.kf_R[k1].T @ m.kf_t[k1]
+        ver = (m.map_id, m.big_change_idx)
+        if ver != self._kf_med_depth_ver:
+            self._kf_med_depth[:] = 0.0
+            self._kf_med_depth_ver = ver
+        self._kf_med_depth[k1] = self._scene_median_depth(k1)
+        ksa = np.asarray(ks)
+        c2s = -np.einsum("kji,kj->ki", m.kf_R[ksa], m.kf_t[ksa])
+        baselines = np.linalg.norm(c2s - c1[None, :], axis=1)
+        meds = self._kf_med_depth[ksa]
+        need = meds <= 0
+        for j in np.nonzero(need)[0]:
+            meds[j] = self._kf_med_depth[ksa[j]] = self._scene_median_depth(
+                int(ksa[j])
+            )
         pair_ok = np.zeros(T, bool)
-        for j, k2 in enumerate(ks):
-            c2 = -m.kf_R[k2].T @ m.kf_t[k2]
-            baseline = float(np.linalg.norm(c1 - c2))
-            lm2 = m.kf_lm_idx[k2]
-            lm2 = lm2[lm2 >= 0]
-            med = 1.0
-            if len(lm2):
-                pc = m.lm_pos[lm2] @ m.kf_R[k2].T + m.kf_t[k2]
-                med = float(np.median(pc[:, 2]))
-            pair_ok[j] = baseline / max(med, 1e-6) >= 0.01
+        pair_ok[: len(ks)] = baselines / np.maximum(meds, 1e-6) >= 0.01
         if not pair_ok.any():
-            return []
+            return None
         arr = np.asarray(ks + [ks[0]] * (T - len(ks)))
         free1 = m.kf_feat_valid[k1] & (m.kf_lm_idx[k1] < 0)
         free2 = m.kf_feat_valid[arr] & (m.kf_lm_idx[arr] < 0)
@@ -3363,20 +3445,31 @@ class Tracker:
             s = self._kf_store
             s.sync(m, [k1, *arr])
         a = jnp.asarray(arr)
-        idxs, Xs, goods = jax.device_get(
-            fused_triangulate_batch(
-                jnp.asarray(m.kf_R[k1]), jnp.asarray(m.kf_t[k1]),
-                s.desc[k1], s.xy[k1],
-                jnp.asarray(free1), s.angle[k1],
-                s.level[k1], s.depth[k1], s.ur[k1],
-                jnp.asarray(m.kf_R[arr]), jnp.asarray(m.kf_t[arr]),
-                s.desc[a], s.xy[a],
-                jnp.asarray(free2), s.angle[a],
-                s.level[a], s.depth[a], s.ur[a],
-                jnp.asarray(pair_ok), jnp.asarray(self.K),
-                jnp.float32((self.cfg.bf)),
-            )
+        out = fused_triangulate_batch(
+            jnp.asarray(m.kf_R[k1]), jnp.asarray(m.kf_t[k1]),
+            s.desc[k1], s.xy[k1],
+            jnp.asarray(free1), s.angle[k1],
+            s.level[k1], s.depth[k1], s.ur[k1],
+            jnp.asarray(m.kf_R[arr]), jnp.asarray(m.kf_t[arr]),
+            s.desc[a], s.xy[a],
+            jnp.asarray(free2), s.angle[a],
+            s.level[a], s.depth[a], s.ur[a],
+            jnp.asarray(pair_ok), jnp.asarray(self.K),
+            jnp.float32((self.cfg.bf)),
         )
+        for h in out:
+            h.copy_to_host_async()
+        return (k1, ks, pair_ok, free1, out)
+
+    def _triangulate_apply(self, ctx) -> list[int]:
+        """Fetch half: land the triangulation results and allocate
+        landmark slots with cross-pair feature dedup (the sequential
+        reference binds a feature at its first successful pair)."""
+        if ctx is None:
+            return []
+        k1, ks, pair_ok, free1, out = ctx
+        m = self.map
+        idxs, Xs, goods = jax.device_get(out)
         new_ids: list[int] = []
         bound1 = ~free1
         bits1 = self._kf_bits(k1)
@@ -3452,13 +3545,24 @@ class Tracker:
         return n_fused
 
     def _search_in_neighbors(self, k: int):
-        """Duplicate-landmark fusion after a keyframe insertion
+        """Synchronous fusion (dispatch + apply back to back) — used by
+        the frame-synchronous mapping path; the worker overlaps the two
+        halves with the rest of the mapping step."""
+        self._fuse_apply(self._fuse_dispatch(k))
+
+    def _fuse_dispatch(self, k: int):
+        """Dispatch half of duplicate-landmark fusion
         (LocalMapping::SearchInNeighbors, src/LocalMapping.cc:743):
         project the new KF's landmarks into its first- and second-order
         covisible keyframes and the neighborhood's landmarks back into
         the new KF, merging duplicates both ways. Target count is
         bounded (the reference visits 10 + 5-per-neighbor; we cap the
-        flattened set to bound host work per insertion)."""
+        flattened set to bound host work per insertion). Enqueues ONE
+        fused_fuse_batch program and returns the un-fetched handles for
+        _fuse_apply — call under the map lock (reads landmark arrays);
+        the fetch half must run WITHOUT the lock (it blocks a full link
+        RTT + device compute, and holding the lock across it starves
+        the track thread's snapshot refresh)."""
         m = self.map
         n1, _ = m.covisible_keyframes(k, min_weight=15, top=10)
         targets: list[int] = []
@@ -3474,7 +3578,7 @@ class Tracker:
                     seen.add(nn)
         targets = targets[:12]
         if not targets:
-            return
+            return None
         cur_lms = m.kf_lm_idx[k]
         cur_lms = np.unique(cur_lms[cur_lms >= 0])
         cur_lms = cur_lms[m.lm_valid[cur_lms]]
@@ -3492,7 +3596,7 @@ class Tracker:
         ids = np.concatenate([cur_lms, np.setdiff1d(fuse_lms, cur_lms)])[:cap]
         n_ids = len(ids)
         if n_ids == 0:
-            return
+            return None
         T_CAP = 16
         rows = [int(x) for x in targets] + [int(k)]
         nT = len(rows)
@@ -3514,35 +3618,50 @@ class Tracker:
                 [x, np.full((pad, *x.shape[1:]), fill, x.dtype)]
             )
 
-        idx_b, mok_b = jax.device_get(
-            fused_fuse_batch(
-                jnp.asarray(padf(m.lm_pos[ids])),
-                jnp.asarray(padf(m.lm_normal[ids])),
-                jnp.asarray(padf(m.lm_min_dist[ids])),
-                jnp.asarray(padf(m.lm_max_dist[ids], 1.0)),
-                jnp.asarray(padf(m.lm_desc[ids])),
-                jnp.asarray(padf(m.lm_valid[ids], False)),
-                jnp.asarray(tgt_mask),
-                jnp.asarray(m.kf_R[arr]), jnp.asarray(m.kf_t[arr]),
-                s.desc[a], s.xy[a],
-                s.level[a],
-                s.valid[a],
-                self.fx, self.fy, self.cx, self.cy,
-                float(self.cfg.width), float(self.cfg.height),
-            )
+        out = fused_fuse_batch(
+            jnp.asarray(padf(m.lm_pos[ids])),
+            jnp.asarray(padf(m.lm_normal[ids])),
+            jnp.asarray(padf(m.lm_min_dist[ids])),
+            jnp.asarray(padf(m.lm_max_dist[ids], 1.0)),
+            jnp.asarray(padf(m.lm_desc[ids])),
+            jnp.asarray(padf(m.lm_valid[ids], False)),
+            jnp.asarray(tgt_mask),
+            jnp.asarray(m.kf_R[arr]), jnp.asarray(m.kf_t[arr]),
+            s.desc[a], s.xy[a],
+            s.level[a],
+            s.valid[a],
+            self.fx, self.fy, self.cx, self.cy,
+            float(self.cfg.width), float(self.cfg.height),
         )
-        n_fused = 0
-        for j in range(nT):
-            n_fused += self._apply_fuse_matches(
-                ids, rows[j], np.asarray(idx_b[j])[:n_ids],
-                np.asarray(mok_b[j])[:n_ids],
-            )
-        if n_fused:
-            # Refresh descriptors/normals of everything the new KF sees
-            # (UpdateConnections + UpdateNormalAndDepth after Fuse).
-            cur = m.kf_lm_idx[k]
-            m.update_landmark_stats(np.unique(cur[cur >= 0]))
-            log.debug("fused %d duplicate landmarks around KF %d", n_fused, k)
+        for h in out:
+            h.copy_to_host_async()
+        return (k, ids, rows, nT, n_ids, out)
+
+    def _fuse_apply(self, ctx):
+        """Fetch half of duplicate-landmark fusion: land the match
+        tables and run the merge bookkeeping (takes the map lock for
+        the write-back only)."""
+        if ctx is None:
+            return
+        k, ids, rows, nT, n_ids, out = ctx
+        m = self.map
+        idx_b, mok_b = jax.device_get(out)
+        with self.map_lock:
+            n_fused = 0
+            for j in range(nT):
+                n_fused += self._apply_fuse_matches(
+                    ids, rows[j], np.asarray(idx_b[j])[:n_ids],
+                    np.asarray(mok_b[j])[:n_ids],
+                )
+            if n_fused:
+                # Refresh descriptors/normals of everything the new KF
+                # sees (UpdateConnections + UpdateNormalAndDepth after
+                # Fuse).
+                cur = m.kf_lm_idx[k]
+                m.update_landmark_stats(np.unique(cur[cur >= 0]))
+                log.debug(
+                    "fused %d duplicate landmarks around KF %d", n_fused, k
+                )
 
     def _cull_keyframes(self, k: int):
         """Remove covisible keyframes whose landmarks are >=90% redundant:
@@ -3624,6 +3743,7 @@ class Tracker:
                         (R_cr @ t_rp + t_cr).astype(np.float32),
                     )
         self.kfdb.erase(self._gid(kf))
+        self._kf_med_depth[kf] = 0.0  # slot may be reused
         m.remove_keyframe(kf)
 
     def _cull_landmarks(self):
@@ -3656,7 +3776,16 @@ class Tracker:
 
     def _local_ba(self, window: list[int], fix: list[int] | None = None,
                   iters: int = 10):
-        """Assemble a fixed-capacity BAProblem from the window and run it."""
+        """Assemble a fixed-capacity BAProblem from the window and run it
+        (dispatch + apply back to back)."""
+        self._local_ba_apply(self._local_ba_dispatch(window, fix, iters))
+
+    def _local_ba_dispatch(self, window: list[int],
+                           fix: list[int] | None = None, iters: int = 10):
+        """Assemble the window BA problem and enqueue the sliced LM
+        schedule, returning un-fetched handles for _local_ba_apply (the
+        worker overlaps keyframe culling and loop-detection host work
+        with the solve)."""
         from ..optim.local_ba import BAProblem, local_ba
 
         m = self.map
@@ -3711,14 +3840,29 @@ class Tracker:
         ur_raw = m.kf_ur[kf_rows, f_idx]
         o_ur = (ur_raw - self.cx).astype(np.float32)
         o_st = ur_raw >= 0
-        O_n = cfg.ba_obs_cap
-        if len(o_kf) > O_n:
-            keep = np.random.default_rng(0).permutation(len(o_kf))[:O_n]
+        if len(o_kf) > cfg.ba_obs_cap:
+            keep = np.random.default_rng(0).permutation(len(o_kf))[
+                : cfg.ba_obs_cap
+            ]
             o_kf, o_lm, o_uv, o_sig = o_kf[keep], o_lm[keep], o_uv[keep], o_sig[keep]
             o_ur, o_st = o_ur[keep], o_st[keep]
+        # Bucketed capacities: the solver's per-iteration cost scales
+        # linearly with the PADDED observation/landmark counts, and the
+        # typical local window (~6-8k obs, ~2k landmarks) is ~3x smaller
+        # than the worst-case caps — pad to the next bucket instead so
+        # the common case costs a third of the device time, at a
+        # bounded number of compiled variants (warmed by the first
+        # window that reaches each bucket).
+        O_n = next(
+            b for b in (4096, 8192, 16384, cfg.ba_obs_cap)
+            if b >= min(len(o_kf), cfg.ba_obs_cap)
+        )
         pad_o = O_n - len(o_kf)
 
-        L_n = cfg.ba_lm_cap
+        L_n = next(
+            b for b in (1024, 2048, cfg.ba_lm_cap)
+            if b >= min(len(lms), cfg.ba_lm_cap)
+        )
         pad_l = L_n - len(lms)
 
         def padk(x, fill=0):
@@ -3766,14 +3910,30 @@ class Tracker:
             )
             if it0 + n_slice < iters and self.worker is not None:
                 time.sleep(0.012)
+        for h in (res.R, res.t, res.Xw):
+            h.copy_to_host_async()
+        return (res, kfs, lms, m, m.kf_gen[kfs].copy())
+
+    def _local_ba_apply(self, ctx):
+        """Fetch the BA result and write it back. Keyframe rows are
+        guarded by generation (a slot culled between dispatch and apply
+        may have been reused by a brand-new keyframe from the track
+        thread); landmark rows by liveness."""
+        if ctx is None:
+            return
+        res, kfs, lms, m, gen0 = ctx
         R_new, t_new, X_new = jax.device_get((res.R, res.t, res.Xw))
         R_new = np.asarray(R_new)[: len(kfs)]
         t_new = np.asarray(t_new)[: len(kfs)]
         X_new = np.asarray(X_new)[: len(lms)]
         with self.map_lock:
-            m.kf_R[kfs] = R_new
-            m.kf_t[kfs] = t_new
-            m.lm_pos[lms] = X_new
+            if m is not self.map:
+                return  # map reset/replaced during the solve
+            okk = m.kf_valid[kfs] & (m.kf_gen[kfs] == gen0)
+            m.kf_R[kfs[okk]] = R_new[okk]
+            m.kf_t[kfs[okk]] = t_new[okk]
+            okl = m.lm_valid[lms]
+            m.lm_pos[lms[okl]] = X_new[okl]
 
     # ------------------------------------------------------------------
     # Global BA (whole map)
