@@ -154,11 +154,34 @@ def main():
 
     kernel_fps = _kernel_fps(scene, frames)
 
+    # Pre-compile every local-BA shape bucket BEFORE the first run: a
+    # bucket that first-compiles mid-sequence stalls the mapping worker
+    # for the full XLA compile and tracking starves. (Compiles persist
+    # in the on-disk cache the package enables.)
+    from orbslam3_cpp_fork_tpu.ops.camera import Camera as _Cam
+    from orbslam3_cpp_fork_tpu.ops.orb import OrbParams as _OP
+    from orbslam3_cpp_fork_tpu.runtime.tracker import (
+        Tracker as _Trk, TrackerConfig as _TC,
+    )
+
+    _cam = _Cam.pinhole(
+        scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2]
+    )
+    _warm = _Trk(_TC(camera=_cam, width=scene.width, height=scene.height,
+                     orb=_OP(n_features=1000), async_mapping=False))
+    _warm.warm_mapping_programs()
+
     # Warm pass: compiles every runtime program end-to-end (free-run).
-    warm_tracker, _, _, _, warm_wall = _run_slam(scene, frames)
+    warm_tracker, _, _, _, _ = _run_slam(scene, frames)
     if warm_tracker.worker is not None:
         warm_tracker.worker.stop()
-    freerun_fps = len(frames) / warm_wall  # includes compiles: lower bound
+
+    # POST-warm free-run: honest unpaced throughput (the r03 number
+    # included every compile and understated it ~10x).
+    fr_tracker, _, _, fr_track, _ = _run_slam(scene, frames)
+    if fr_tracker.worker is not None:
+        fr_tracker.worker.stop()
+    freerun_fps = len(frames) / fr_track
 
     # Timed pass: REFERENCE SEMANTICS — frames delivered at the 20 fps
     # camera rate; "real-time" means consuming the stream without

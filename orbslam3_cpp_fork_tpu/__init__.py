@@ -43,3 +43,25 @@ import jax as _jax
 # full f32 precision; throughput-critical image kernels opt back into
 # lower precision explicitly at their call sites.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent XLA compilation cache: the runtime dispatches ~30 distinct
+# jitted programs (tracking step, triangulation/fusion batches, BA shape
+# buckets, pose graph...) whose first compile costs 10-40 s each. A
+# mapping-stage program that first-compiles MID-SEQUENCE stalls the
+# worker for that long and the tracker walks off its own map frontier —
+# with the on-disk cache, every shape ever compiled on this machine
+# loads in milliseconds in later processes (tests, benches, examples).
+import os as _os
+
+try:  # pragma: no cover - cache dir creation is environment-dependent
+    _cache_dir = _os.environ.get(
+        "ORBSLAM3_TPU_JAX_CACHE",
+        _os.path.join(
+            _os.path.expanduser("~"), ".cache", "orbslam3_tpu_jax"
+        ),
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # cache is an optimization, never a requirement
+    pass

@@ -17,6 +17,7 @@
 // per call). Queries never allocate; callers pass output buffers.
 
 #include <algorithm>
+#include <mutex>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -25,6 +26,14 @@
 namespace {
 
 struct MapGraph {
+  // One mutex for the whole graph: every extern "C" entry locks it.
+  // The SLAM runtime mutates this graph from BOTH the track thread
+  // (keyframe insertion, depth seeding) and the mapping worker
+  // (triangulation, fusion, culling) while the other side reads —
+  // std::vector reallocation under a concurrent reader is heap
+  // corruption, not just a stale answer. Contention is negligible:
+  // every operation is microseconds.
+  std::mutex mu;
   int32_t max_kf;
   int32_t max_lm;
   // observations
@@ -73,14 +82,14 @@ MapGraph* mg_create(int32_t max_kf, int32_t max_lm) {
 
 void mg_destroy(MapGraph* g) { delete g; }
 
-void mg_add_keyframe(MapGraph* g, int32_t kf) { g->kf_alive[kf] = 1; }
+void mg_add_keyframe(MapGraph* g, int32_t kf) { std::lock_guard<std::mutex> lk(g->mu); g->kf_alive[kf] = 1; }
 
 // Add observations kf -> lm_ids[0..n). Updates covisibility weights
 // incrementally and sets the spanning-tree parent on first connection
 // (reference Tracking/LocalMapping call UpdateConnections after
 // binding observations; parent = strongest covisible, KeyFrame.cc:563).
 void mg_add_observations(MapGraph* g, int32_t kf, const int32_t* lm_ids,
-                         int32_t n) {
+                         int32_t n) { std::lock_guard<std::mutex> lk(g->mu);
   g->kf_alive[kf] = 1;
   auto& mine = g->kf_lms[kf];
   for (int32_t i = 0; i < n; ++i) {
@@ -105,8 +114,8 @@ void mg_add_observations(MapGraph* g, int32_t kf, const int32_t* lm_ids,
   }
 }
 
-void mg_remove_observations(MapGraph* g, int32_t kf, const int32_t* lm_ids,
-                            int32_t n) {
+static void remove_observations_impl(MapGraph* g, int32_t kf,
+                                     const int32_t* lm_ids, int32_t n) {
   auto& mine = g->kf_lms[kf];
   for (int32_t i = 0; i < n; ++i) {
     int32_t lm = lm_ids[i];
@@ -121,8 +130,13 @@ void mg_remove_observations(MapGraph* g, int32_t kf, const int32_t* lm_ids,
   }
 }
 
+void mg_remove_observations(MapGraph* g, int32_t kf, const int32_t* lm_ids,
+                            int32_t n) { std::lock_guard<std::mutex> lk(g->mu);
+  remove_observations_impl(g, kf, lm_ids, n);
+}
+
 // Remove a landmark everywhere (MapPoint::SetBadFlag).
-void mg_remove_landmark(MapGraph* g, int32_t lm) {
+void mg_remove_landmark(MapGraph* g, int32_t lm) { std::lock_guard<std::mutex> lk(g->mu);
   auto& obs = g->lm_kfs[lm];
   for (size_t i = 0; i < obs.size(); ++i) {
     int32_t a = obs[i];
@@ -141,10 +155,10 @@ void mg_remove_landmark(MapGraph* g, int32_t lm) {
 // children to the best-connected alive candidate (the reference walks
 // candidate parents maximizing covisibility, KeyFrame::SetBadFlag
 // :657-759; grandparent fallback).
-void mg_remove_keyframe(MapGraph* g, int32_t kf) {
-  // drop observations (weights)
+void mg_remove_keyframe(MapGraph* g, int32_t kf) { std::lock_guard<std::mutex> lk(g->mu);
+  // drop observations (weights) — unlocked impl: mu is already held
   auto lms = g->kf_lms[kf];  // copy
-  mg_remove_observations(g, kf, lms.data(), (int32_t)lms.size());
+  remove_observations_impl(g, kf, lms.data(), (int32_t)lms.size());
   g->kf_lms[kf].clear();
   // symmetric loop edges
   for (int32_t other : g->loop_edges[kf]) erase_value(g->loop_edges[other], kf);
@@ -165,14 +179,14 @@ void mg_remove_keyframe(MapGraph* g, int32_t kf) {
   g->parent[kf] = -1;
 }
 
-int32_t mg_covis_weight(MapGraph* g, int32_t a, int32_t b) {
+int32_t mg_covis_weight(MapGraph* g, int32_t a, int32_t b) { std::lock_guard<std::mutex> lk(g->mu);
   auto& wa = g->weight[a];
   auto it = wa.find(b);
   return it == wa.end() ? 0 : it->second;
 }
 
 // All covisibility weights of kf into out[max_kf] (dense row).
-void mg_covis_row(MapGraph* g, int32_t kf, int32_t* out) {
+void mg_covis_row(MapGraph* g, int32_t kf, int32_t* out) { std::lock_guard<std::mutex> lk(g->mu);
   std::memset(out, 0, sizeof(int32_t) * g->max_kf);
   for (auto& [other, w] : g->weight[kf])
     if (g->kf_alive[other]) out[other] = w;
@@ -182,7 +196,7 @@ void mg_covis_row(MapGraph* g, int32_t kf, int32_t* out) {
 // weight (GetBestCovisibilityKeyFrames / GetCovisiblesByWeight).
 // Returns count written (<= cap).
 int32_t mg_covis_neighbors(MapGraph* g, int32_t kf, int32_t min_w,
-                           int32_t cap, int32_t* out) {
+                           int32_t cap, int32_t* out) { std::lock_guard<std::mutex> lk(g->mu);
   std::vector<std::pair<int32_t, int32_t>> ws;  // (-w, id) for stable sort
   ws.reserve(g->weight[kf].size());
   for (auto& [other, w] : g->weight[kf])
@@ -193,10 +207,10 @@ int32_t mg_covis_neighbors(MapGraph* g, int32_t kf, int32_t min_w,
   return n;
 }
 
-int32_t mg_parent(MapGraph* g, int32_t kf) { return g->parent[kf]; }
-void mg_set_parent(MapGraph* g, int32_t kf, int32_t p) { g->parent[kf] = p; }
+int32_t mg_parent(MapGraph* g, int32_t kf) { std::lock_guard<std::mutex> lk(g->mu); return g->parent[kf]; }
+void mg_set_parent(MapGraph* g, int32_t kf, int32_t p) { std::lock_guard<std::mutex> lk(g->mu); g->parent[kf] = p; }
 
-void mg_add_loop_edge(MapGraph* g, int32_t a, int32_t b) {
+void mg_add_loop_edge(MapGraph* g, int32_t a, int32_t b) { std::lock_guard<std::mutex> lk(g->mu);
   auto& ea = g->loop_edges[a];
   if (std::find(ea.begin(), ea.end(), b) == ea.end()) ea.push_back(b);
   auto& eb = g->loop_edges[b];
@@ -208,7 +222,7 @@ void mg_add_loop_edge(MapGraph* g, int32_t a, int32_t b) {
 // >= min_w. Pairs (a < b) written to out as [a0,b0,a1,b1,...].
 // Returns pair count (<= cap).
 int32_t mg_essential_edges(MapGraph* g, int32_t min_w, int32_t cap,
-                           int32_t* out) {
+                           int32_t* out) { std::lock_guard<std::mutex> lk(g->mu);
   int32_t n = 0;
   auto push = [&](int32_t a, int32_t b) {
     if (a > b) std::swap(a, b);
@@ -228,21 +242,21 @@ int32_t mg_essential_edges(MapGraph* g, int32_t min_w, int32_t cap,
 }
 
 // Landmark observers into out[cap]; returns count.
-int32_t mg_lm_observers(MapGraph* g, int32_t lm, int32_t cap, int32_t* out) {
+int32_t mg_lm_observers(MapGraph* g, int32_t lm, int32_t cap, int32_t* out) { std::lock_guard<std::mutex> lk(g->mu);
   auto& obs = g->lm_kfs[lm];
   int32_t n = std::min<int32_t>((int32_t)obs.size(), cap);
   for (int32_t i = 0; i < n; ++i) out[i] = obs[i];
   return n;
 }
 
-int32_t mg_kf_landmarks(MapGraph* g, int32_t kf, int32_t cap, int32_t* out) {
+int32_t mg_kf_landmarks(MapGraph* g, int32_t kf, int32_t cap, int32_t* out) { std::lock_guard<std::mutex> lk(g->mu);
   auto& v = g->kf_lms[kf];
   int32_t n = std::min<int32_t>((int32_t)v.size(), cap);
   for (int32_t i = 0; i < n; ++i) out[i] = v[i];
   return n;
 }
 
-int32_t mg_n_obs(MapGraph* g, int32_t lm) {
+int32_t mg_n_obs(MapGraph* g, int32_t lm) { std::lock_guard<std::mutex> lk(g->mu);
   return (int32_t)g->lm_kfs[lm].size();
 }
 

@@ -110,14 +110,14 @@ def _delta2(p: BAProblem):
     return jnp.where(p.obs_stereo, residuals.CHI2_STEREO, residuals.CHI2_MONO)
 
 
-@partial(jax.jit, static_argnames=("iters", "gate_at", "robust", "it0"))
+@partial(jax.jit, static_argnames=("iters", "robust"))
 def local_ba(
     p: BAProblem,
     iters: int = 10,
-    gate_at: int = 5,
+    gate_at: int | jax.Array = 5,
     robust: bool = True,
     damping_init: float = 1e-4,
-    it0: int = 0,
+    it0: int | jax.Array = 0,
     inlier0: jax.Array | None = None,
     lam0: jax.Array | None = None,
 ) -> BAResult:
@@ -153,7 +153,8 @@ def local_ba(
         # Mid-schedule outlier gate (reference re-classifies after the
         # first optimization pass) — from the residuals of THIS state,
         # shared with the normal-equation build below.
-        gate_now = it == gate_at
+        gate_now = it == jnp.int32(gate_at)  # gate_at traced: one program
+        # per (shape-bucket, iters) pair regardless of schedule length.
         new_inlier = p.obs_valid & (chi2 <= _delta2(p)) & (z > 0)
         inlier = jnp.where(gate_now, new_inlier, inlier)
 
@@ -254,8 +255,10 @@ def local_ba(
         p.obs_valid if inlier0 is None else inlier0,
         jnp.float32(damping_init) if lam0 is None else lam0,
     )
+    # `it0` is TRACED (a dynamic slice offset): making it static would
+    # compile one program per slice position of the chained schedule.
     (R, t, Xw, inlier, lam), costs = jax.lax.scan(
-        step, init, jnp.arange(it0, it0 + iters)
+        step, init, jnp.int32(it0) + jnp.arange(iters, dtype=jnp.int32)
     )
     # Final inlier classification.
     r, _, _, z = _residuals(p, R, t, Xw)

@@ -4,15 +4,28 @@ Replaces KeyFrameDatabase (src/KeyFrameDatabase.cc) + the DBoW2
 vocabulary. The reference depends on a 145 MB offline-trained ORB
 vocabulary that is not shipped (SURVEY.md §6 missing blobs); instead the
 vocabulary is built ONLINE: the first `n_words` descriptors observed by
-the map become the codebook (a k-means-init style sample of the actual
+the map seed the codebook (a k-means-init style sample of the actual
 descriptor distribution — random bit centers are useless because ORB
 descriptors concentrate at ~128 bits from any random center, making
 argmin assignments unstable).
 
+Codebook lifecycle: the database stores every registered keyframe's
+packed descriptors, so `refresh_codebook` can re-train at any time —
+re-sampling centers from the WHOLE accumulated corpus, refining them
+with binary k-means (majority-vote bit centers), and re-histogramming
+every stored keyframe against the new vocabulary (one matvec each).
+The Tracker triggers a refresh when a new Atlas map spawns, so a
+codebook seeded in scene A does not permanently serve scene B (the
+reference's offline vocabulary is scene-independent by construction —
+Thirdparty/DBoW2/TemplatedVocabulary.h:241; re-training on the
+accumulated corpus is the online equivalent).
+
 Scoring = cosine over idf-weighted, corpus-mean-centered word
 histograms; each query is one K x W matvec. Validated for
-same-place/different-place margin in tests/test_retrieval.py, which is
-the recall validation SURVEY.md §2.8 requires for replacing DBoW2.
+same-place/different-place margin in tests/test_retrieval.py, and for
+cross-scene codebook refresh in tests/test_retrieval.py::
+test_codebook_refresh_cross_scene — the recall validation SURVEY.md
+§2.8 requires for replacing DBoW2.
 """
 
 from __future__ import annotations
@@ -50,6 +63,10 @@ class KeyFrameDatabase:
         self._pending: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.hists = np.zeros((max_keyframes, n_words), np.float32)
         self.present = np.zeros(max_keyframes, bool)
+        # Per-keyframe packed descriptors (uint8 (N,32)) + validity:
+        # the corpus refresh_codebook re-trains from and re-histograms.
+        self._desc_store: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.n_refreshes = 0
 
     # ------------------------------------------------------------------
 
@@ -95,6 +112,12 @@ class KeyFrameDatabase:
         """Register a keyframe. Pass `hist` (from `histogram`) to reuse
         an already-computed signature — callers that both query and add
         the same frame would otherwise pay the device round trip twice."""
+        self._desc_store[k] = (
+            np.packbits(
+                desc_i8.astype(np.uint8), axis=-1, bitorder="little"
+            ),
+            valid.copy(),
+        )
         if self.codebook is None:
             d = desc_i8[valid]
             self._pool.append(d.copy())
@@ -109,10 +132,71 @@ class KeyFrameDatabase:
         self.present[k] = False
         self.hists[k] = 0.0
         self._pending.pop(k, None)
+        self._desc_store.pop(k, None)
 
     def clear(self):
         self.present[:] = False
         self.hists[:] = 0.0
+        self._pending.clear()
+        self._desc_store.clear()
+
+    def refresh_codebook(self, lloyd_iters: int = 1, sample_cap: int = 65536):
+        """Re-train the vocabulary from the WHOLE accumulated corpus and
+        re-histogram every stored keyframe.
+
+        Centers are re-sampled uniformly from all stored descriptors,
+        then refined with binary k-means: assign every corpus descriptor
+        to its nearest center (Hamming), re-estimate each center as the
+        majority bit of its members. Empty clusters keep their previous
+        center. The Tracker calls this when a new Atlas map spawns (a
+        new scene is coming; the old first-seconds sample must not
+        serve it forever)."""
+        if not self._desc_store:
+            return
+        packs = []
+        for d, v in self._desc_store.values():
+            packs.append(d[v])
+        corpus_p = np.concatenate(packs)
+        if len(corpus_p) < self.n_words:
+            return
+        rng = np.random.default_rng(self._seed + 1 + self.n_refreshes)
+        if len(corpus_p) > sample_cap:
+            corpus_p = corpus_p[
+                rng.permutation(len(corpus_p))[:sample_cap]
+            ]
+        corpus = np.unpackbits(
+            corpus_p, axis=-1, bitorder="little"
+        ).astype(np.int8)
+        centers = corpus[rng.permutation(len(corpus))[: self.n_words]]
+        cb_dev = (
+            jax.device_put(centers, self.device)
+            if self.device is not None else jnp.asarray(centers)
+        )
+        corpus_dev = (
+            jax.device_put(corpus, self.device)
+            if self.device is not None else jnp.asarray(corpus)
+        )
+        for _ in range(max(lloyd_iters, 0)):
+            words = np.asarray(_nearest_words(corpus_dev, cb_dev))
+            sums = np.zeros((self.n_words, 256), np.int32)
+            np.add.at(sums, words, corpus)
+            counts = np.bincount(words, minlength=self.n_words)
+            upd = counts > 0
+            centers[upd] = (
+                sums[upd] * 2 > counts[upd, None]
+            ).astype(np.int8)
+            cb_dev = (
+                jax.device_put(centers, self.device)
+                if self.device is not None else jnp.asarray(centers)
+            )
+        self.codebook = centers
+        self._cb_j = cb_dev
+        self.n_refreshes += 1
+        # Re-histogram every stored keyframe against the new vocabulary.
+        for k, (d, v) in self._desc_store.items():
+            bits = np.unpackbits(d, axis=-1, bitorder="little").astype(np.int8)
+            self.hists[k] = self._hist(bits, v)
+            self.present[k] = True
         self._pending.clear()
 
     # ------------------------------------------------------------------

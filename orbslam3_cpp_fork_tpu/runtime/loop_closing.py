@@ -16,9 +16,13 @@ Pipeline per keyframe (NewDetectCommonRegions :328 + CorrectLoop :1062):
       -> Sim3 GN refinement                          (OptimizeSim3)
       -> guided projection of the candidate window's landmarks
          into the current KF                          (SearchByProjection)
- 4. temporal consistency: strong single-shot accept at nProjStrong,
-    or two consecutive KFs validating the same region at nProjWeak
-    (the reference requires 3 consecutive KFs, :407)
+ 4. temporal consistency: the hypothesis must validate on
+    `LoopConfig.consecutive_kfs` (3, like the reference :407)
+    consecutive keyframes at >= min_proj_weak guided-projection
+    matches before it is acted on; each new KF first re-validates the
+    pending hypothesis through the tracked relative motion
+    (DetectAndReffineSim3FromLastKF :567) and only falls back to a
+    fresh database query when none is pending
  5. correction: propagate the corrective Sim3 through the current
     covisible window, re-anchor their landmarks, fuse duplicates
     against the loop window (SearchAndFuse :2175), then essential-graph

@@ -680,6 +680,14 @@ class Tracker:
     (System::TrackMonocular/TrackStereo/TrackRGBD paths,
     src/System.cc:270-539 + src/Tracking.cc:1773 Track())."""
 
+    # Local-BA shape buckets (the configured caps are appended as the
+    # final bucket). Small and fixed: every variant is pre-compilable by
+    # warm_mapping_programs — a bucket that first-compiles mid-sequence
+    # stalls the mapping worker for the full XLA compile and the tracker
+    # walks off its own map frontier.
+    BA_OBS_BUCKETS = (8192, 16384)
+    BA_LM_BUCKETS = (2048,)
+
     def __init__(self, cfg: TrackerConfig):
         assert cfg.camera is not None
         self.cfg = cfg
@@ -1421,6 +1429,11 @@ class Tracker:
         self.ref_kf = -1
         self.n_kf_inserted = 0
         self._kf_med_depth[:] = 0.0  # slots reused by the fresh map
+        # A new scene is coming: re-train the place-recognition
+        # vocabulary from the whole accumulated corpus so the codebook
+        # seeded in the first map's first seconds does not serve every
+        # later scene (see KeyFrameDatabase.refresh_codebook).
+        self.kfdb.refresh_codebook()
         if self.inertial:
             self._reset_vi_runtime()
 
@@ -2777,6 +2790,22 @@ class Tracker:
                 ba_ctx = self._local_ba_dispatch(window, iters=6)
             self._last_ba_at = self.n_kf_inserted
 
+        # Redundant-keyframe culling (LocalMapping::KeyFrameCulling) —
+        # host work overlapped with the BA solve.
+        if not interrupted:
+            with self.map_lock:
+                with self.timers.span("map_cull_kf"):
+                    self._cull_keyframes(k)
+
+        # The BA write-back must land BEFORE the IMU ladder: an IMU
+        # initialization rewrites the whole map (gravity alignment +
+        # rescale) and a stale pre-rescale BA result applied after it
+        # would silently undo the alignment.
+        if ba_ctx is not None:
+            with self.timers.span("map_local_ba"):
+                self._local_ba_apply(ba_ctx)
+            ba_ctx = None
+
         # IMU initialization ladder (LocalMapping::Run :232-286). On the
         # background stage the ladder runs against a shim frame carrying
         # the keyframe's timestamp: its map rewrites (gravity alignment,
@@ -2797,17 +2826,6 @@ class Tracker:
                 self._imu_ladder(shim, k)
             else:
                 self._imu_ladder(frame, k)
-
-        # Redundant-keyframe culling (LocalMapping::KeyFrameCulling) —
-        # host work overlapped with the BA solve.
-        if not interrupted:
-            with self.map_lock:
-                with self.timers.span("map_cull_kf"):
-                    self._cull_keyframes(k)
-
-        if ba_ctx is not None:
-            with self.timers.span("map_local_ba"):
-                self._local_ba_apply(ba_ctx)
 
         # Place recognition: loop detection/correction, then register the
         # keyframe in the database (LoopClosing::InsertKeyFrame handoff).
@@ -3089,7 +3107,8 @@ class Tracker:
         self.prior_H = None
         self._kf_inserted_last_frame = True
 
-    def _stacked_pre_padded(self, pre_ks: list[int], cap: int):
+    def _stacked_pre_padded(self, pre_ks: list[int], cap: int,
+                            put=jnp.asarray):
         """Stacked Preintegrated over KF slots, padded to cap with
         identity intervals (dR=I, C=0, dT=0 -> residuals vanish)."""
         from ..ops import imu as imu_ops
@@ -3102,7 +3121,7 @@ class Tracker:
         def fld(name, shape, fill):
             real = getattr(base, name) if base is not None else np.zeros((0, *shape), np.float32)
             padv = np.broadcast_to(fill, (pad, *shape)).astype(np.float32)
-            return jnp.asarray(np.concatenate([real, padv]))
+            return put(np.concatenate([real, padv]))
 
         eye = np.eye(3, dtype=np.float32)
         z3 = np.zeros(3, np.float32)
@@ -3127,6 +3146,7 @@ class Tracker:
         prior_g: float = 0.0, prior_a: float = 0.0,
         lm_cap: int | None = None,
         fix: list[int] | None = None,
+        put=jnp.asarray,
     ):
         """Assemble a fixed-capacity VIBAProblem: optimizable temporal
         window + fixed boundary/observer KFs, reprojection observations,
@@ -3204,7 +3224,7 @@ class Tracker:
         E_cap = K_cap
         n_e = min(len(ei), E_cap)
         ei, ej, pre_ks = ei[:n_e], ej[:n_e], pre_ks[:n_e]
-        pre = self._stacked_pre_padded(pre_ks, E_cap)
+        pre = self._stacked_pre_padded(pre_ks, E_cap, put=put)
 
         Rwb, twb = self._body_from_cam_np(m.kf_R[kfs_arr], m.kf_t[kfs_arr])
 
@@ -3215,56 +3235,56 @@ class Tracker:
 
         eye_pad = np.tile(np.eye(3, dtype=np.float32), (pad_k, 1, 1))
         prob = VIBAProblem(
-            Rwb=jnp.asarray(np.concatenate([Rwb, eye_pad])),
-            twb=jnp.asarray(padk(twb)),
-            vel=jnp.asarray(padk(m.kf_vel[kfs_arr])),
-            bg=jnp.asarray(padk(m.kf_bg[kfs_arr])),
-            ba=jnp.asarray(padk(m.kf_ba[kfs_arr])),
-            kf_valid=jnp.asarray(
+            Rwb=put(np.concatenate([Rwb, eye_pad])),
+            twb=put(padk(twb)),
+            vel=put(padk(m.kf_vel[kfs_arr])),
+            bg=put(padk(m.kf_bg[kfs_arr])),
+            ba=put(padk(m.kf_ba[kfs_arr])),
+            kf_valid=put(
                 np.concatenate([np.ones(len(kfs), bool), np.zeros(pad_k, bool)])
             ),
-            kf_fixed=jnp.asarray(
+            kf_fixed=put(
                 np.concatenate([kf_fixed, np.ones(pad_k, bool)])
             ),
-            Xw=jnp.asarray(
+            Xw=put(
                 np.concatenate([m.lm_pos[lms], np.zeros((pad_l, 3), np.float32)])
             ),
-            lm_valid=jnp.asarray(
+            lm_valid=put(
                 np.concatenate([np.ones(len(lms), bool), np.zeros(pad_l, bool)])
             ),
-            obs_kf=jnp.asarray(np.concatenate([o_kf, np.zeros(pad_o)]).astype(np.int32)),
-            obs_lm=jnp.asarray(np.concatenate([o_lm, np.zeros(pad_o)]).astype(np.int32)),
-            obs_uvr=jnp.asarray(
+            obs_kf=put(np.concatenate([o_kf, np.zeros(pad_o)]).astype(np.int32)),
+            obs_lm=put(np.concatenate([o_lm, np.zeros(pad_o)]).astype(np.int32)),
+            obs_uvr=put(
                 np.concatenate(
                     [np.concatenate([o_uv, o_ur[:, None]], 1),
                      np.zeros((pad_o, 3), np.float32)]
                 )
             ),
-            obs_sigma2=jnp.asarray(
+            obs_sigma2=put(
                 np.concatenate([o_sig, np.ones(pad_o, np.float32)])
             ),
-            obs_stereo=jnp.asarray(np.concatenate([o_st, np.zeros(pad_o, bool)])),
-            obs_valid=jnp.asarray(
+            obs_stereo=put(np.concatenate([o_st, np.zeros(pad_o, bool)])),
+            obs_valid=put(
                 np.concatenate([np.ones(len(o_kf), bool), np.zeros(pad_o, bool)])
             ),
-            edge_i=jnp.asarray(
+            edge_i=put(
                 np.concatenate([ei, np.zeros(E_cap - n_e)]).astype(np.int32)
             ),
-            edge_j=jnp.asarray(
+            edge_j=put(
                 np.concatenate([ej, np.zeros(E_cap - n_e)]).astype(np.int32)
             ),
-            edge_valid=jnp.asarray(
+            edge_valid=put(
                 np.concatenate([np.ones(n_e, bool), np.zeros(E_cap - n_e, bool)])
             ),
             pre=pre,
-            Rcb=jnp.asarray(self.Rcb),
-            tcb=jnp.asarray(self.tcb),
-            fx=jnp.float32(self.fx),
-            fy=jnp.float32(self.fy),
-            bf=jnp.float32(self.cfg.bf),
-            prior_kf=jnp.int32(n_opt - 1),  # newest optimizable KF
-            prior_g=jnp.float32(prior_g),
-            prior_a=jnp.float32(prior_a),
+            Rcb=put(np.asarray(self.Rcb)),
+            tcb=put(np.asarray(self.tcb)),
+            fx=put(np.float32(self.fx)),
+            fy=put(np.float32(self.fy)),
+            bf=put(np.float32(self.cfg.bf)),
+            prior_kf=put(np.int32(n_opt - 1)),  # newest optimizable KF
+            prior_g=put(np.float32(prior_g)),
+            prior_a=put(np.float32(prior_a)),
         )
         return prob, kfs_arr, np.asarray(lms), kf_fixed
 
@@ -3774,6 +3794,39 @@ class Tracker:
             m.remove_landmarks(drop[m.lm_valid[drop]])
             log.info("landmark capacity pressure: dropped %d weakest", n_drop)
 
+    def warm_mapping_programs(self):
+        """Pre-compile every local-BA shape bucket on dummy problems.
+
+        Compiles are process-global (and persisted by the on-disk XLA
+        cache the package enables), so benches/examples call this ONCE
+        before real-time pacing starts — a bucket that first-compiles
+        mid-sequence stalls the mapping worker for the whole compile
+        and tracking starves (the r03 warm-pass losses)."""
+        from ..optim.local_ba import BAProblem, local_ba
+
+        cfg = self.cfg
+        K_n = cfg.ba_kf_cap + cfg.ba_fixed_cap
+        for O_n in (*self.BA_OBS_BUCKETS, cfg.ba_obs_cap):
+            for L_n in (*self.BA_LM_BUCKETS, cfg.ba_lm_cap):
+                prob = BAProblem(
+                    R=jnp.broadcast_to(jnp.eye(3), (K_n, 3, 3)),
+                    t=jnp.zeros((K_n, 3)),
+                    kf_valid=jnp.zeros(K_n, bool).at[:2].set(True),
+                    kf_fixed=jnp.zeros(K_n, bool).at[0].set(True),
+                    Xw=jnp.ones((L_n, 3)),
+                    lm_valid=jnp.zeros(L_n, bool).at[:8].set(True),
+                    obs_kf=jnp.zeros(O_n, jnp.int32),
+                    obs_lm=jnp.zeros(O_n, jnp.int32),
+                    obs_uvr=jnp.zeros((O_n, 3)),
+                    obs_sigma2=jnp.ones(O_n),
+                    obs_stereo=jnp.zeros(O_n, bool),
+                    obs_valid=jnp.zeros(O_n, bool).at[:16].set(True),
+                    fx=jnp.float32(400.0), fy=jnp.float32(400.0),
+                    bf=jnp.float32(0.0),
+                )
+                res = local_ba(prob, iters=2, gate_at=3)
+                jax.device_get(res.cost)
+
     def _local_ba(self, window: list[int], fix: list[int] | None = None,
                   iters: int = 10):
         """Assemble a fixed-capacity BAProblem from the window and run it
@@ -3854,13 +3907,13 @@ class Tracker:
         # bounded number of compiled variants (warmed by the first
         # window that reaches each bucket).
         O_n = next(
-            b for b in (4096, 8192, 16384, cfg.ba_obs_cap)
+            b for b in self.BA_OBS_BUCKETS + (cfg.ba_obs_cap,)
             if b >= min(len(o_kf), cfg.ba_obs_cap)
         )
         pad_o = O_n - len(o_kf)
 
         L_n = next(
-            b for b in (1024, 2048, cfg.ba_lm_cap)
+            b for b in self.BA_LM_BUCKETS + (cfg.ba_lm_cap,)
             if b >= min(len(lms), cfg.ba_lm_cap)
         )
         pad_l = L_n - len(lms)
@@ -4127,6 +4180,90 @@ class Tracker:
                     len(new_k), len(new_l),
                 )
 
+    def _vi_global_ba_background(self, k: int):
+        """FullInertialBA on the background GBA thread: snapshot the
+        whole-chain VI problem under the map lock (placed off-stream on
+        the host CPU backend so the solve never queues on the tracking
+        device stream), solve, then write back with generation guards
+        and propagate corrections to keyframes/landmarks created during
+        the solve — the same snapshot + patch machinery as the visual
+        background GBA (RunGlobalBundleAdjustment with FullInertialBA,
+        src/LoopClosing.cc:2319-2322,2341-2541)."""
+        if self._gba_thread is not None and self._gba_thread.is_alive():
+            log.warning("global BA already running; skipping new request")
+            return
+        m = self.map
+        cfg = self.cfg
+        with self.map_lock:
+            chain = m.temporal_window(k, 10**6)[::-1]
+            if len(chain) <= cfg.vi_full_kf_cap:
+                built = self._build_vi_problem(
+                    chain, K_cap=cfg.vi_full_kf_cap + cfg.ba_fixed_cap,
+                    obs_cap=cfg.vi_obs_cap,
+                    put=self._offstream_put,
+                )
+                sparse = False
+            else:
+                K_cap = -(-(len(chain) + cfg.ba_fixed_cap) // 64) * 64
+                K_cap = min(K_cap, cfg.map_cfg.max_keyframes + cfg.ba_fixed_cap)
+                built = self._build_vi_problem(
+                    chain, K_cap=K_cap, obs_cap=cfg.gba_obs_cap,
+                    lm_cap=cfg.map_cfg.max_landmarks,
+                    put=self._offstream_put,
+                )
+                sparse = True
+            if built is None:
+                return
+            prob, kfs_arr, lms, _ = built
+            snap = dict(
+                map=m,
+                kf_R=m.kf_R.copy(), kf_t=m.kf_t.copy(),
+                kf_valid=m.kf_valid.copy(), kf_gen=m.kf_gen.copy(),
+                Xw=m.lm_pos.copy(), lm_valid=m.lm_valid.copy(),
+                lm_gen=m.lm_gen.copy(),
+            )
+
+        def run():
+            try:
+                with self.timers.span("global_ba"):
+                    if sparse:
+                        from ..optim.sparse_ba import sparse_vi_ba
+
+                        res = sparse_vi_ba(prob, iters=7, gate_at=4)
+                    else:
+                        from ..optim.inertial import visual_inertial_ba
+
+                        res = visual_inertial_ba(prob, iters=7, gate_at=4)
+                    n = len(kfs_arr)
+                    Rwb = np.asarray(res.Rwb)[:n]
+                    twb = np.asarray(res.twb)[:n]
+                    Rcw, tcw = self._cam_from_body_np(Rwb, twb)
+                    # Full-size update arrays: unsolved rows keep their
+                    # snapshot values (no-op in the apply).
+                    R_new = snap["kf_R"].copy()
+                    t_new = snap["kf_t"].copy()
+                    R_new[kfs_arr] = Rcw
+                    t_new[kfs_arr] = tcw
+                    X_new = snap["Xw"].copy()
+                    X_new[lms] = np.asarray(res.Xw)[: len(lms)]
+                    self._gba_apply(snap, R_new, t_new, X_new)
+                    with self.map_lock:
+                        if m is self.map:
+                            ok = m.kf_valid[kfs_arr] & (
+                                m.kf_gen[kfs_arr] == snap["kf_gen"][kfs_arr]
+                            )
+                            m.kf_vel[kfs_arr[ok]] = np.asarray(res.vel)[:n][ok]
+                            m.kf_bg[kfs_arr[ok]] = np.asarray(res.bg)[:n][ok]
+                            m.kf_ba[kfs_arr[ok]] = np.asarray(res.ba)[:n][ok]
+                m.big_change_idx += 1
+            except Exception:
+                log.exception("background inertial global BA failed")
+
+        self._gba_thread = threading.Thread(
+            target=run, name="global_ba_vi", daemon=True
+        )
+        self._gba_thread.start()
+
     def _global_ba_after_loop(self, k: int, c: int):
         """LoopCloser hook (RunGlobalBundleAdjustment semantics,
         src/LoopClosing.cc:2306-2541): after the essential graph, run a
@@ -4140,9 +4277,17 @@ class Tracker:
             return
         m = self.map
         if self.inertial and m.imu_stage >= 1:
-            with self.timers.span("global_ba"):
-                self._full_inertial_ba(k, prior_g=0.0, prior_a=0.0, iters=7)
-            m.big_change_idx += 1
+            if self.worker is None:
+                with self.timers.span("global_ba"):
+                    self._full_inertial_ba(k, prior_g=0.0, prior_a=0.0, iters=7)
+                m.big_change_idx += 1
+            else:
+                # Background-thread FullInertialBA — the reference
+                # spawns its GBA thread for BOTH sensors
+                # (src/LoopClosing.cc:1346,2319-2322); r03 ran the
+                # inertial solve inline and stalled all mapping for the
+                # whole solve.
+                self._vi_global_ba_background(k)
             return
         if self.worker is None:
             with self.timers.span("global_ba"):

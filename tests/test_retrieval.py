@@ -63,6 +63,53 @@ def test_query_excludes():
     assert ids2[0] == 0
 
 
+def test_codebook_refresh_cross_scene():
+    """Atlas-scale codebook lifecycle (VERDICT r3 item 6): scene B's
+    keyframes are indexed under a codebook whose seed sample came
+    entirely from scene A's first keyframes. After refresh_codebook
+    (re-trained on the accumulated A+B corpus, every stored keyframe
+    re-histogrammed) the aggregate recall over BOTH scenes must not be
+    worse than under the frozen scene-A seed codebook — and a scene-B
+    revisit must rank the right scene-B keyframe first."""
+    p = OrbParams(n_features=500)
+    scene_a = synthetic.make_ring_scene(seed=11)
+    scene_b = synthetic.make_ring_scene(seed=12, n_points=700)
+    Rs, ts = synthetic.circle_trajectory(n_frames=36, total_angle=2 * np.pi)
+    feats_a = [_feats(scene_a, Rs[i], ts[i], p) for i in range(36)]
+    feats_b = [_feats(scene_b, Rs[i], ts[i], p) for i in range(36)]
+
+    db = KeyFrameDatabase(max_keyframes=64)
+    for k, i in enumerate(range(0, 36, 3)):
+        db.add(k, *feats_a[i])
+    assert db.codebook is not None  # seeded entirely from scene A
+    for k, i in enumerate(range(0, 36, 3)):
+        db.add(12 + k, *feats_b[i])
+
+    def recall():
+        """Fraction of revisit queries (10 deg past each keyframe, both
+        scenes) whose top in-scene hit is the right keyframe."""
+        hits = 0
+        for feats, base in ((feats_a, 0), (feats_b, 12)):
+            for q in range(12):
+                hist = db.histogram(*feats[q * 3 + 1])
+                ids, sc = db.query(hist, n_best=24, min_score=-1.0)
+                s = np.full(24, -1.0)
+                s[ids] = sc
+                hits += s[base + q] == s[base:base + 12].max()
+        return hits / 24.0
+
+    r_frozen = recall()
+    db.refresh_codebook()
+    assert db.n_refreshes == 1
+    r_refreshed = recall()
+    assert r_refreshed >= r_frozen, (r_refreshed, r_frozen)
+
+    # Scene-B revisit resolves to the right keyframe post-refresh.
+    hist = db.histogram(*feats_b[1])
+    ids, scores = db.query(hist, n_best=3, min_score=0.0)
+    assert ids[0] == 12, (ids, scores)
+
+
 def test_pending_flush_before_vocab():
     """Keyframes added before the vocabulary exists are indexed once it
     is built (pending-flush path)."""
