@@ -97,6 +97,7 @@ class Atlas:
             dst.lm_visible[ids] = src.lm_visible[src_lms]
             dst.lm_found[ids] = src.lm_found[src_lms]
             dst.lm_first_kf[ids] = -1  # ages out of "recent" culling
+            dst.lm_birth_fid[ids] = -1  # (recycled slots hold stale stamps)
             dst.lm_obs_count[ids] = src.lm_obs_count[src_lms]
             lm_remap = {int(a): int(b) for a, b in zip(src_lms, ids)}
 

@@ -111,6 +111,11 @@ class MapState:
         self.lm_visible = np.zeros(L, np.int32)
         self.lm_found = np.zeros(L, np.int32)
         self.lm_first_kf = np.full(L, -1, np.int32)
+        # Frame id at creation (the recency window of MapPointCulling:
+        # the reference only ratio-culls points younger than ~3
+        # keyframes, src/LocalMapping.cc:382-416 — mnFirstKFid there;
+        # a frame stamp here because KF slots are recycled).
+        self.lm_birth_fid = np.full(L, -1, np.int64)
         self.lm_obs_count = np.zeros(L, np.int32)
         # Slot generations: bumped on (re)allocation so long-running
         # background consumers (concurrent global BA) can detect a slot
@@ -391,6 +396,9 @@ class MapState:
         self.lm_max_dist[ids] = max_dist
         self.lm_level[ids] = level
         self.lm_first_kf[ids] = first_kf
+        self.lm_birth_fid[ids] = (
+            self.kf_frame_id[first_kf] if first_kf >= 0 else -1
+        )
         self.lm_obs_count[ids] = 0
         self.lm_visible[ids] = 1
         self.lm_found[ids] = 1

@@ -479,7 +479,11 @@ class LoopCloser:
                     "map-merge detected: KF %d (map %d) -> KF %d (map %d), %d proj",
                     k, m.map_id, c, m_c.map_id, n_proj,
                 )
-                return (c_idx, c, (s, R, t)), True
+                # The proposal crosses a thread boundary (executed by
+                # the track thread at the next frame): identify maps by
+                # ID, never by Atlas index — resets/spawns/merges can
+                # reorder `atlas.maps` before execution.
+                return (m_c.map_id, c, (s, R, t), m.map_id, k), True
             self.pending = (int(g), count, (float(s), np.asarray(R), np.asarray(t)), k)
             return None, True
 

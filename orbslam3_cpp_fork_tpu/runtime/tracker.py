@@ -30,6 +30,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import logging
+import os
 import threading
 import time
 from functools import partial
@@ -65,6 +66,21 @@ def measure_device_rtt(n: int = 5) -> float:
     for _ in range(n):
         np.asarray(f(x))
     return (time.perf_counter() - t0) / n * 1e3
+
+_rtt_cache: list = []
+
+
+def _cached_device_rtt_ms() -> float:
+    """measure_device_rtt, measured once per process (it costs a few
+    round trips; Tracker construction happens hundreds of times in the
+    test suite)."""
+    if not _rtt_cache:
+        try:
+            _rtt_cache.append(measure_device_rtt())
+        except Exception:
+            _rtt_cache.append(0.0)
+    return _rtt_cache[0]
+
 
 log = logging.getLogger("orbslam3_tpu.tracker")
 
@@ -148,16 +164,16 @@ class TrackerConfig:
     lapping_r: tuple = (0.0, 1e9)
     stereo_init_min_features: int = 500  # StereoInitialization (:2246)
     enable_loop_closing: bool = True
-    # Placement of the mapping-side solvers (triangulation, fusion,
-    # local BA, loop detection/Sim3). "auto"/"default": the accelerator
-    # — every mapping program is millisecond-scale on the MXU, so the
-    # worker's off-critical-path fetches (~25 ms RTT each on a tunneled
-    # device) still beat the 100-170 ms the same programs cost as host
-    # CPU compute, and short programs interleave with the pipelined
-    # tracking stream without stalling it. "cpu" pins them to the host
-    # backend (useful to starve the device stream of everything but
-    # tracking). The seconds-scale background global BA is always
-    # placed off-stream on the host CPU backend.
+    # Placement of the mapping-side solvers (local BA, loop
+    # detection/Sim3, place-recognition matvecs). "auto"/"default"
+    # decides by the measured device link RTT: locally attached
+    # accelerator (sub-ms) -> on-device; high-latency tunneled link
+    # (>5 ms RTT) -> host CPU backend, where the solvers cost the same
+    # wall time (RTT dominates each fetch) and the tracking stream
+    # loses the mapping-induced queueing jitter. "tpu" forces
+    # on-device, "cpu" forces the host backend. Triangulation/fusion
+    # stay on the accelerator either way; the seconds-scale background
+    # global BA is always off-stream on the host CPU backend.
     mapping_backend: str = "auto"
     # Pipeline: run mapping + loop closing on a background stage (the
     # reference's LocalMapping/LoopClosing threads) so per-frame track
@@ -197,10 +213,28 @@ class TrackerConfig:
     min_track_matches: int = 20
     min_track_inliers: int = 10
     min_localmap_inliers: int = 30
+    # Acceptance floor while the background mapping stage is BEHIND
+    # (worker busy/backlogged) on an established map. Default EQUAL to
+    # the strict floor: measured on the bench ring, accepting 15-25
+    # inlier frames under backlog let keyframes with drifted poses into
+    # the map and the accumulated noise collapsed the (rotation-
+    # dominant) trajectory's translation estimate — a transient
+    # RECENTLY_LOST with pose-carried re-acquisition recovers cleanly,
+    # a corrupted map does not. Kept as a knob for translation-rich
+    # platforms where a lower floor is safe (the reference accepts 15
+    # when the IMU carries prediction, src/Tracking.cc:2908-2917).
+    min_localmap_inliers_degraded: int = 30
     # Relocalization acceptance (Tracking::Relocalization accepts only at
     # 50 inliers after the projection-search escalation, :3596).
     reloc_min_inliers: int = 50
     kf_max_interval: int = 30  # frames (reference mMaxFrames = fps)
+    # Covisible neighbors triangulated against per new keyframe. The
+    # reference visits 10 (20 for mono, LocalMapping::CreateNewMapPoints)
+    # sequentially on an idle core; here every pair adds a 1000x1000
+    # matching block to ONE device program whose latency bounds the
+    # mapping stage's throughput — at keyframes every ~3 frames the
+    # nearest 6 neighbors carry all the usable parallax.
+    triangulate_neighbors: int = 6
     # Seconds of RECENTLY_LOST grace (IMU dead-reckoning / reloc window)
     # before declaring LOST (reference time_recently_lost, Tracking.cc:71).
     time_recently_lost: float = 5.0
@@ -416,6 +450,14 @@ def _unpack_desc(desc_packed: jax.Array) -> jax.Array:
     return bits.reshape(*desc_packed.shape[:-1], 256).astype(jnp.int8)
 
 
+# Compacted result capacities: device-side compaction shrinks the
+# result fetch ~4x — through a tunneled link the fetch size sets the
+# mapping step's latency floor, and triangulation rarely yields more
+# than ~300 accepted candidates per pair (FUSE matches ~300 per target).
+TRI_CAP = 384
+FUSE_CAP = 512
+
+
 @jax.jit
 def fused_triangulate_batch(
     R1, t1, desc1, xy1, free1, angle1, level1, depth1, ur1,
@@ -426,7 +468,9 @@ def fused_triangulate_batch(
     program: vmap over the covisible neighbors of (fundamental ->
     epipolar matching -> triangulate + acceptance policy). The
     sequential per-pair version costs 3 host round-trips per neighbor —
-    ~30 per insertion; this costs one."""
+    ~30 per insertion; this costs one. Results are COMPACTED on device:
+    per pair, up to TRI_CAP accepted candidates as (f1, f2, X) rows
+    with f1 = -1 padding."""
     bits1 = _unpack_desc(desc1)
     sig2_1 = SCALE_FACTOR ** (2.0 * level1.astype(jnp.float32))
 
@@ -445,7 +489,11 @@ def fused_triangulate_batch(
             R1, t1, R2, t2, K, xy1, xy2[idx], sig2_1, sig2_2[idx],
             depth1, dep2[idx], ur1, u2[idx], bf, oct_ratio, ok & pok,
         )
-        return idx, X, good
+        sel = jnp.argsort(~good)[:TRI_CAP]  # accepted rows first, stable
+        keep = good[sel]
+        f1c = jnp.where(keep, sel, -1).astype(jnp.int32)
+        n_match = jnp.sum((ok & pok).astype(jnp.int32))
+        return f1c, idx[sel].astype(jnp.int32), X[sel], n_match
 
     return jax.vmap(per)(
         R2s, t2s, desc2s, xy2s, free2s, angle2s, level2s, depth2s, ur2s,
@@ -465,7 +513,8 @@ def fused_fuse_batch(
     (ORBmatcher::Fuse, src/ORBmatcher.cc:1149) batched over all target
     keyframes in ONE program: project each landmark subset into its
     target, window-match at the scale-predicted radius, chi2-gate.
-    Returns (idx (T,L), ok (T,L)); the merge bookkeeping (Replace
+    Returns compacted (lm_slot (T,FUSE_CAP), feat (T,FUSE_CAP)) match
+    pairs (lm_slot = -1 padding); the merge bookkeeping (Replace
     policy) stays on host. Sequentially this was one recompiling device
     call per target (~12 per insertion)."""
     lm_bits = _unpack_desc(lm_desc)
@@ -506,7 +555,13 @@ def fused_fuse_batch(
         e2 = jnp.sum((xy[idx] - uv) ** 2, axis=-1)
         sig2 = SCALE_FACTOR ** (2.0 * lvl[idx].astype(jnp.float32))
         mok = mok & (e2 <= 5.991 * sig2)
-        return idx, mok
+        # Compact: up to FUSE_CAP (landmark-slot, feature) match pairs,
+        # lm = -1 padding — the dense (T,L) tables cost ~320 KB per
+        # fetch through the link; the compacted form ~16 KB.
+        sel = jnp.argsort(~mok)[:FUSE_CAP]
+        keep = mok[sel]
+        lmc = jnp.where(keep, sel, -1).astype(jnp.int32)
+        return lmc, idx[sel].astype(jnp.int32)
 
     return jax.vmap(per)(kf_R, kf_t, tgt_mask, kf_desc, kf_xy, kf_level, kf_valid)
 
@@ -768,16 +823,28 @@ class Tracker:
         from .loop_closing import LoopCloser, LoopConfig
 
         # Mapping-solver placement (see TrackerConfig.mapping_backend).
-        # Default: the accelerator. The mapping programs are all
-        # millisecond-scale on the MXU, so even on a high-RTT tunneled
-        # device the worker's synchronous fetches (~25 ms each, off the
-        # critical path) beat the 100-170 ms the same programs cost as
-        # host-CPU compute — and the short programs interleave with the
-        # pipelined tracking stream without stalling it. Only the
-        # background whole-map GBA (a seconds-scale program) is forced
-        # off-stream onto the host CPU backend (`_offstream_put`).
+        # "auto" decides by the measured device link RTT: on a locally
+        # attached accelerator (sub-ms RTT) every mapping solver runs on
+        # the device — the programs are millisecond-scale on the MXU and
+        # interleave with tracking without stalling it. Behind a
+        # HIGH-LATENCY tunneled link, the mapping-side BA/loop solvers
+        # are pinned to the host CPU backend instead: measured on this
+        # class of link, the CPU solvers cost the SAME wall time as the
+        # tunneled device (the ~25-40 ms RTT dominates each fetch), and
+        # moving them off-stream removes the queueing jitter that the
+        # tracking program's async retirement otherwise inherits (the
+        # r03/r04 p99 tail). The front-end triangulation/fusion batches
+        # stay on the accelerator either way (their inputs live in the
+        # device keyframe store). The background whole-map GBA is always
+        # off-stream on the host CPU backend (`_offstream_put`).
         self._map_dev = None
-        if cfg.mapping_backend == "cpu":
+        backend = os.environ.get(
+            "ORBSLAM3_TPU_MAPPING_BACKEND", cfg.mapping_backend
+        )
+        want_cpu = backend == "cpu"
+        if backend in ("auto", "default"):
+            want_cpu = _cached_device_rtt_ms() > 5.0
+        if want_cpu:
             try:
                 self._map_dev = jax.devices("cpu")[0]
                 log.info("mapping solvers pinned to host CPU backend")
@@ -1237,13 +1304,39 @@ class Tracker:
                 self.last.R = m.kf_R[self.ref_kf].copy()
                 self.last.t = m.kf_t[self.ref_kf].copy()
 
-    def _execute_merge(self, k: int, frame: FrameData, dst_idx: int, c: int, S_kc):
-        """Weld the active map into Atlas map `dst_idx` through the
-        validated Sim3 S_kc (candidate-cam -> current-cam), then fuse
-        duplicates and run a welding BA (LoopClosing::MergeLocal,
-        src/LoopClosing.cc:1356)."""
+    def _execute_merge(self, k: int, frame: FrameData, dst_map_id: int,
+                       c: int, S_kc, src_map_id_expect: int,
+                       k_expect: int):
+        """Weld the active map into the Atlas map with id `dst_map_id`
+        through the validated Sim3 S_kc (candidate-cam -> current-cam),
+        then fuse duplicates and run a welding BA
+        (LoopClosing::MergeLocal, src/LoopClosing.cc:1356).
+
+        The proposal crossed a thread boundary: everything it names is
+        re-validated against the CURRENT Atlas (maps are identified by
+        id, not index — resets/spawns between detection and execution
+        reorder `atlas.maps`, and executing a stale proposal once
+        merged a map into itself and emptied the Atlas)."""
         atlas = self.atlas
         src = atlas.active
+        dst_idx = next(
+            (i for i, mm in enumerate(atlas.maps)
+             if mm.map_id == dst_map_id),
+            None,
+        )
+        if (
+            dst_idx is None
+            or src.map_id != src_map_id_expect
+            or k != k_expect
+            or atlas.maps[dst_idx] is src
+            or not src.kf_valid[k]
+            or not atlas.maps[dst_idx].kf_valid[c]
+        ):
+            log.warning(
+                "dropping stale merge proposal (map %d -> %d, KF %d -> %d)",
+                src.map_id, dst_map_id, k, c,
+            )
+            return
         dst = atlas.maps[dst_idx]
         s, R, t = S_kc
         # S_k_w1 = S_kc o T_c_w1 ; M (w1 -> w2) = T_k_w2^-1 o S_k_w1.
@@ -1910,6 +2003,30 @@ class Tracker:
                     k2.append(neigh)
                 local_kfs = np.unique(np.concatenate(k2))
             lm_ids = m.local_map_landmarks(local_kfs)
+            # Frustum augmentation: the covisibility window above is
+            # derived from the LAST frame's bound landmarks, so when
+            # tracking weakens it collapses with it (few bindings ->
+            # wrong/few local KFs -> thin snapshot -> fewer matches — a
+            # death spiral; measured: snapshots of ~600 landmarks while
+            # 1100+ map landmarks passed every projection gate of the
+            # live view). Add every map landmark that projects into a
+            # widened window around the last pose — one (L,3) matmul on
+            # host, and the 4096-slot capacity was sitting half empty.
+            if self.last.R is not None:
+                ids_all = np.nonzero(m.lm_valid)[0]
+                if len(ids_all):
+                    pc = m.lm_pos[ids_all] @ self.last.R.T + self.last.t
+                    z = np.maximum(pc[:, 2], 1e-6)
+                    u = self.fx * pc[:, 0] / z + self.cx
+                    v = self.fy * pc[:, 1] / z + self.cy
+                    wmar = 0.3 * self.cfg.width
+                    hmar = 0.3 * self.cfg.height
+                    okf = (
+                        (pc[:, 2] > 0.05)
+                        & (u >= -wmar) & (u < self.cfg.width + wmar)
+                        & (v >= -hmar) & (v < self.cfg.height + hmar)
+                    )
+                    lm_ids = np.union1d(lm_ids, ids_all[okf])
             # Last-frame-bound landmarks first so capacity truncation
             # can never drop the stage-1 carry set (a sorted union would
             # keep lowest-id landmarks instead on big maps).
@@ -1978,7 +2095,7 @@ class Tracker:
             "frame %d fused: %d local-lms, %d stage1, %d inliers",
             frame.frame_id, n, int(n_s1), n_in,
         )
-        if n_in < self.cfg.min_localmap_inliers:
+        if n_in < self._min_accept_inliers():
             return False  # split-phase path retries with its ladders
         frame.R = np.asarray(R)
         frame.t = np.asarray(t)
@@ -2000,6 +2117,19 @@ class Tracker:
     # ------------------------------------------------------------------
     # Software-pipelined tracking (zero sync round-trips per frame)
     # ------------------------------------------------------------------
+
+    def _min_accept_inliers(self) -> int:
+        """TrackLocalMap acceptance floor (reference: 30,
+        src/Tracking.cc:2893-2919), dropped to the degraded floor while
+        the mapping worker is behind on an established map — see
+        TrackerConfig.min_localmap_inliers_degraded."""
+        if (
+            self.worker is not None
+            and self.worker.busy()
+            and self.map.n_keyframes() >= self.cfg.pipeline_min_kfs
+        ):
+            return self.cfg.min_localmap_inliers_degraded
+        return self.cfg.min_localmap_inliers
 
     def _pipeline_active(self) -> bool:
         if (
@@ -2092,7 +2222,7 @@ class Tracker:
             c["desc"], c["valid"],
             prev_bound, remap,
             jnp.int32(self.cfg.min_track_matches),
-            jnp.int32(self.cfg.min_localmap_inliers),
+            jnp.int32(self._min_accept_inliers()),
             self.fx, self.fy, self.cx, self.cy,
             float(self.cfg.width), float(self.cfg.height),
             orb_params=self.cfg.orb,
@@ -2149,7 +2279,7 @@ class Tracker:
         )
         frame._xy_dev = out["f_xy"]
 
-        if not bool(r["ok"]) or n_in < self.cfg.min_localmap_inliers:
+        if not bool(r["ok"]) or n_in < self._min_accept_inliers():
             # Tracking failed `pipeline_lag` frames ago: everything in
             # flight was predicted from a failing chain — drop it, then
             # retry THIS frame through the synchronous ladder
@@ -2275,7 +2405,7 @@ class Tracker:
             frame.frame_id, len(local_lms), len(lm_hit), n_in,
         )
 
-        if n_in < self.cfg.min_localmap_inliers:
+        if n_in < self._min_accept_inliers():
             self._set_lost(frame)
             return
 
@@ -2527,12 +2657,16 @@ class Tracker:
             )
             self.state = TrackState.RECENTLY_LOST
             self.lost_t = frame.timestamp
-            if not imu_ready:
-                frame.R = None
-                frame.t = None
-            # Inertial: keep the pose — the IMU keeps predicting from it
-            # (the reference keeps publishing IMU-predicted poses while
-            # RECENTLY_LOST, src/Tracking.cc:1924-1949).
+            # Keep the last pose for EVERY sensor: inertial because the
+            # IMU keeps predicting from it (the reference keeps
+            # publishing IMU-predicted poses while RECENTLY_LOST,
+            # src/Tracking.cc:1924-1949), visual because the dominant
+            # loss mode under a lagging mapping stage is transient
+            # frontier starvation — the pose estimate is still sound,
+            # and _recently_lost_step re-acquires against the map from
+            # it as soon as the worker catches up (poses of
+            # RECENTLY_LOST frames are never recorded to the
+            # trajectory).
         else:
             log.warning("tracking LOST at frame %d (%d KFs)", frame.frame_id, n_kf)
             self.state = TrackState.LOST
@@ -2541,16 +2675,25 @@ class Tracker:
         self.last = frame
 
     def _recently_lost_step(self, frame: FrameData):
-        """One frame while RECENTLY_LOST: inertial -> IMU dead-reckoning +
-        local-map re-acquisition; visual -> relocalization. Falls to LOST
-        after time_recently_lost seconds (src/Tracking.cc:1924-1949)."""
+        """One frame while RECENTLY_LOST: predict the pose (IMU
+        dead-reckoning when initialized, constant pose otherwise) and
+        try to RE-ACQUIRE the local map around the reference keyframe
+        with a wide search window; visual tracking additionally falls
+        back to full relocalization. Falls to LOST after
+        time_recently_lost seconds (src/Tracking.cc:1924-1949; the
+        visual re-acquisition pass is an extension — the reference only
+        relocalizes, but its loss model is occlusion/blur, while under
+        a lagging background mapping stage the dominant loss is
+        transient frontier starvation with a still-sound pose, which
+        plain reloc at the 50-inlier bar cannot recover from)."""
         m = self.map
         imu_ready = self.inertial and m.imu_stage >= 1
         recovered = False
-        if imu_ready and self.last_body is not None and self.last.R is not None:
+        if self.last is not None and self.last.R is not None:
             self._predict_pose(frame)
-            Rwb, p = self._body_from_cam_np(frame.R, frame.t)
-            self.last_body = (Rwb, p, self.cur_v.copy())
+            if imu_ready and self.last_body is not None:
+                Rwb, p = self._body_from_cam_np(frame.R, frame.t)
+                self.last_body = (Rwb, p, self.cur_v.copy())
             # Re-acquisition: project the reference-KF neighborhood's
             # landmarks into the predicted pose with a wide window.
             if self.ref_kf >= 0 and m.kf_valid[self.ref_kf]:
@@ -2574,7 +2717,17 @@ class Tracker:
                         )
                         recovered = True
                         self.prior_H = None
-            self.last = frame
+            if not recovered and not imu_ready:
+                # Full relocalization fallback — it clears the frame's
+                # pose on failure (reloc semantics), but the kept pose
+                # is what the NEXT frame's re-acquisition predicts
+                # from: restore it.
+                R_keep, t_keep = frame.R, frame.t
+                recovered = self._relocalize(frame)
+                if not recovered:
+                    frame.R, frame.t = R_keep, t_keep
+            if not recovered:
+                self.last = frame
         else:
             recovered = self._relocalize(frame)
         if recovered:
@@ -2668,9 +2821,9 @@ class Tracker:
         """Catch-up processing of a drained keyframe queue: older
         keyframes are registered (stats + place-recognition database)
         and the newest gets the full mapping step — its triangulation
-        runs against the covisibility neighborhood, which includes the
-        skipped keyframes, so their fresh features still seed the map
-        frontier."""
+        pair set always includes the most recent keyframes (temporal
+        augmentation in _mapping_step), so the skipped keyframes' fresh
+        features still seed the map frontier."""
         m = map_ref
         live = [k for k in ks if m is self.map and m.kf_valid[k]]
         if not live:
@@ -2710,6 +2863,23 @@ class Tracker:
         backlog = self.worker.q.qsize() if self.worker is not None else 0
         interrupted = backlog > 0
         neigh, _ = m.covisible_keyframes(k, min_weight=15, top=self.cfg.local_window_kfs)
+        # Triangulation pair set = temporally newest keyframes FIRST,
+        # then the strongest covisibles. Covisibility weight is earned
+        # from already-mapped terrain, so at the map frontier (and
+        # especially under catch-up, where several recent keyframes
+        # were registered without their own mapping step) the covisible
+        # list points BACKWARD and triangulation stops covering the
+        # new view direction — measured as per-KF new-landmark yield
+        # collapsing 300 -> 30 right before every bench loss event.
+        valid = np.nonzero(m.kf_valid)[0]
+        valid = valid[valid != k]
+        recent = valid[np.argsort(-m.kf_frame_id[valid])][:8]
+        seen_r = {int(x) for x in recent}
+        tri_neigh = np.asarray(
+            [int(x) for x in recent]
+            + [int(x) for x in neigh if int(x) not in seen_r],
+            np.int64,
+        )
 
         # Dispatch BOTH mapping device programs up front: they queue
         # back-to-back on the device stream and compute while the host
@@ -2723,19 +2893,17 @@ class Tracker:
         # next KF's neighborhood pass) — the dedup is the same, one
         # round delayed.
         with self.timers.span("map_triangulate_dispatch"):
-            tri = self._triangulate_dispatch(k, neigh)
-        # The InterruptBA analog: the reference runs local BA and
-        # keyframe culling ONLY when no further keyframe is queued
+            tri = self._triangulate_dispatch(k, tri_neigh)
+        # The InterruptBA analog, at reference semantics: fusion, local
+        # BA and culling run ONLY when no further keyframe is queued
         # (src/LocalMapping.cc:136-241 `if (!CheckNewKeyFrames())`), so
-        # a backed-up pipeline catches up by deferring optimization.
-        # Under a DEEP backlog (>=2 queued) we defer fusion and culling
-        # too: triangulation is the only stage the live tracker starves
-        # without — the map frontier must keep pace with the camera —
-        # while duplicate fusion and redundancy culling are quality
-        # passes the next uncongested keyframe re-runs over the same
-        # neighborhood.
+        # a backed-up pipeline catches up by deferring everything but
+        # triangulation — the one stage the live tracker starves
+        # without (the map frontier must keep pace with the camera);
+        # fusion and culling are quality passes the next uncongested
+        # keyframe re-runs over the same neighborhood.
         fuse = None
-        if backlog < 2:
+        if backlog < 1:
             with self.map_lock:
                 with self.timers.span("map_fuse_dispatch"):
                     fuse = self._fuse_dispatch(k)
@@ -2756,11 +2924,11 @@ class Tracker:
         if fuse is not None:
             with self.timers.span("map_fuse"):
                 self._fuse_apply(fuse)
-        if backlog < 2:
+        if backlog < 1:
             # Cull weak recent landmarks (MapPointCulling :382-416).
             with self.map_lock:
                 with self.timers.span("map_cull_lm"):
-                    self._cull_landmarks()
+                    self._cull_landmarks(k)
         # Live re-check right before the optimization (InterruptBA,
         # src/LocalMapping.cc:136): a keyframe that arrived while the
         # stages above ran defers BA to the next idle step — during
@@ -3428,24 +3596,29 @@ class Tracker:
         mapping step's host-side stages while the program computes,
         then calls _triangulate_apply."""
         m = self.map
-        T = self.cfg.local_window_kfs
-        ks = [int(x) for x in neigh[:T]]
-        if not ks:
+        T = self.cfg.triangulate_neighbors
+        cand = [int(x) for x in neigh]
+        if not cand:
             return None
-        # Baseline-vs-depth gate per pair (reference skips short
-        # baselines, ratio vs the neighbor's scene median depth —
-        # LocalMapping::CreateNewMapPoints). The neighbor's median depth
-        # comes from a per-KF cache refreshed when that KF was mapped:
-        # the 0.01 gate is coarse, so a few-KFs-stale median is
-        # equivalent, and the fresh per-neighbor median loop cost
-        # ~20 ms of host time per mapping step.
+        # Baseline-vs-depth gate (reference skips short baselines,
+        # ratio vs the neighbor's scene median depth —
+        # LocalMapping::CreateNewMapPoints). The gate runs over the
+        # WHOLE candidate pool BEFORE the T pair slots are assigned:
+        # when the estimated inter-keyframe translation weakens (this
+        # trajectory is rotation-dominant, so the translation signal is
+        # the first casualty of map noise), the nearest neighbors all
+        # fail the gate — selecting first and gating second used to
+        # waste most of the pair budget exactly when triangulation
+        # needed the wider-baseline candidates. Median depths come from
+        # a per-KF cache refreshed when each KF was mapped (the 0.01
+        # gate is coarse; a few-KFs-stale median is equivalent).
         c1 = -m.kf_R[k1].T @ m.kf_t[k1]
         ver = (m.map_id, m.big_change_idx)
         if ver != self._kf_med_depth_ver:
             self._kf_med_depth[:] = 0.0
             self._kf_med_depth_ver = ver
         self._kf_med_depth[k1] = self._scene_median_depth(k1)
-        ksa = np.asarray(ks)
+        ksa = np.asarray(cand)
         c2s = -np.einsum("kji,kj->ki", m.kf_R[ksa], m.kf_t[ksa])
         baselines = np.linalg.norm(c2s - c1[None, :], axis=1)
         meds = self._kf_med_depth[ksa]
@@ -3454,10 +3627,18 @@ class Tracker:
             meds[j] = self._kf_med_depth[ksa[j]] = self._scene_median_depth(
                 int(ksa[j])
             )
-        pair_ok = np.zeros(T, bool)
-        pair_ok[: len(ks)] = baselines / np.maximum(meds, 1e-6) >= 0.01
-        if not pair_ok.any():
+        ratio = baselines / np.maximum(meds, 1e-6)
+        if log.isEnabledFor(logging.DEBUG):
+            log.debug(
+                "tri KF %d gate: cand %s ratios %s",
+                k1, cand, np.round(ratio, 3).tolist(),
+            )
+        sel = np.nonzero(ratio >= 0.01)[0][:T]
+        if len(sel) == 0:
             return None
+        ks = [cand[i] for i in sel]
+        pair_ok = np.zeros(T, bool)
+        pair_ok[: len(ks)] = True
         arr = np.asarray(ks + [ks[0]] * (T - len(ks)))
         free1 = m.kf_feat_valid[k1] & (m.kf_lm_idx[k1] < 0)
         free2 = m.kf_feat_valid[arr] & (m.kf_lm_idx[arr] < 0)
@@ -3489,22 +3670,31 @@ class Tracker:
             return []
         k1, ks, pair_ok, free1, out = ctx
         m = self.map
-        idxs, Xs, goods = jax.device_get(out)
+        f1s, f2s, Xs, n_match = jax.device_get(out)
+        if log.isEnabledFor(logging.DEBUG):
+            log.debug(
+                "tri KF %d: %d free, pairs %s, matches %s, accepted %s",
+                k1, int(free1.sum()),
+                [int(x) for x in np.nonzero(pair_ok)[0]],
+                [int(x) for x in np.asarray(n_match)[: len(ks)]],
+                [int((np.asarray(f1s[j]) >= 0).sum()) for j in range(len(ks))],
+            )
         new_ids: list[int] = []
         bound1 = ~free1
         bits1 = self._kf_bits(k1)
         for j, k2 in enumerate(ks):
             if not pair_ok[j]:
                 continue
-            good = np.asarray(goods[j]) & ~bound1
-            f1 = np.nonzero(good)[0]
-            if len(f1) == 0:
+            row = np.asarray(f1s[j])
+            keep = np.nonzero((row >= 0) & ~bound1[np.maximum(row, 0)])[0]
+            if len(keep) == 0:
                 continue
-            f2 = np.asarray(idxs[j])[f1]
+            f1 = row[keep]
+            f2 = np.asarray(f2s[j])[keep]
             with self.map_lock:  # slot allocation races with depth seeding
                 try:
                     ids = m.add_landmarks(
-                        pos=np.asarray(Xs[j])[f1],
+                        pos=np.asarray(Xs[j])[keep],
                         desc_packed=m.kf_desc[k1, f1],
                         desc_i8=bits1[f1],
                         first_kf=k1,
@@ -3522,19 +3712,21 @@ class Tracker:
         return new_ids
 
     def _apply_fuse_matches(self, lm_ids: np.ndarray, kf: int,
-                            idx: np.ndarray, mok: np.ndarray) -> int:
-        """Merge bookkeeping for fuse matches of `lm_ids` into keyframe
-        `kf` (the host half of ORBmatcher::Fuse — MapPoint::Replace
-        policy, src/ORBmatcher.cc:1149): a match bound to a different
-        landmark merges into whichever has more observations; an unbound
-        match gains an observation."""
+                            lm_slots: np.ndarray, feats: np.ndarray) -> int:
+        """Merge bookkeeping for compacted fuse matches (lm_slot into
+        `lm_ids`, feature index; slot -1 = padding) into keyframe `kf`
+        (the host half of ORBmatcher::Fuse — MapPoint::Replace policy,
+        src/ORBmatcher.cc:1149): a match bound to a different landmark
+        merges into whichever has more observations; an unbound match
+        gains an observation."""
         m = self.map
         n_fused = 0
-        for j in np.nonzero(mok)[0]:
-            lm = int(lm_ids[j])
+        n_ids = len(lm_ids)
+        for j in np.nonzero((lm_slots >= 0) & (lm_slots < n_ids))[0]:
+            lm = int(lm_ids[lm_slots[j]])
             if not m.lm_valid[lm]:
                 continue  # merged away earlier in this loop
-            f = int(idx[j])
+            f = int(feats[j])
             cur = int(m.kf_lm_idx[kf, f])
             if cur == lm:
                 continue
@@ -3665,13 +3857,13 @@ class Tracker:
             return
         k, ids, rows, nT, n_ids, out = ctx
         m = self.map
-        idx_b, mok_b = jax.device_get(out)
+        slots_b, feats_b = jax.device_get(out)
         with self.map_lock:
             n_fused = 0
             for j in range(nT):
                 n_fused += self._apply_fuse_matches(
-                    ids, rows[j], np.asarray(idx_b[j])[:n_ids],
-                    np.asarray(mok_b[j])[:n_ids],
+                    ids, rows[j], np.asarray(slots_b[j]),
+                    np.asarray(feats_b[j]),
                 )
             if n_fused:
                 # Refresh descriptors/normals of everything the new KF
@@ -3766,15 +3958,29 @@ class Tracker:
         self._kf_med_depth[kf] = 0.0  # slot may be reused
         m.remove_keyframe(kf)
 
-    def _cull_landmarks(self):
-        """Remove landmarks with poor found/visible ratio or too few
-        observations shortly after creation (LocalMapping::MapPointCulling)."""
+    def _cull_landmarks(self, k: int | None = None):
+        """Remove RECENT landmarks with a poor found/visible ratio or
+        too few observations (LocalMapping::MapPointCulling,
+        src/LocalMapping.cc:382-416). The recency window matters: the
+        reference only ratio-culls points younger than ~3 keyframes —
+        applying the 0.25 found-ratio to the WHOLE map mass-culled
+        ~1000 mature landmarks per pass once the wide tracking
+        snapshots inflated every point's visible count (only ~15% of a
+        1000-candidate snapshot can match per frame), collapsing the
+        map frontier mid-sequence."""
         m = self.map
+        cur_fid = (
+            int(m.kf_frame_id[k]) if k is not None and m.kf_valid[k]
+            else self.frame_id
+        )
+        age = cur_fid - m.lm_birth_fid  # frames since creation
+        # ~3 keyframes of recency expressed in frames (KF cadence on
+        # the paced benches is ~3 frames; generous window).
+        young = (m.lm_birth_fid >= 0) & (age <= 12)
         ratio = m.lm_found / np.maximum(m.lm_visible, 1)
-        recent = m.lm_first_kf >= 0
-        weak = m.lm_valid & (
+        weak = m.lm_valid & young & (
             ((ratio < 0.25) & (m.lm_visible > 3))
-            | ((m.lm_obs_count < 2) & (m.lm_visible > 6) & recent)
+            | ((m.lm_obs_count < 2) & (m.lm_visible > 6) & (age >= 6))
         )
         ids = np.nonzero(weak)[0]
         if len(ids):
@@ -3961,7 +4167,14 @@ class Tracker:
                 inlier0=None if res is None else res.inlier_carry,
                 lam0=None if res is None else res.lam,
             )
-            if it0 + n_slice < iters and self.worker is not None:
+            if (
+                it0 + n_slice < iters
+                and self.worker is not None
+                and self._map_dev is None
+            ):
+                # Pace the slices ONLY when the solve shares the
+                # tracking device's stream; on the host CPU backend the
+                # sleeps just stretched the mapping step.
                 time.sleep(0.012)
         for h in (res.R, res.t, res.Xw):
             h.copy_to_host_async()
