@@ -205,6 +205,21 @@ def main():
     n_loops = (
         tracker.loop_closer.n_loops_closed if tracker.loop_closer else 0
     )
+    # Map-quality corroboration: ATE of the KEYFRAME poses themselves
+    # (scale-aligned). The exported per-frame trajectory composes
+    # relative records; this isolates the optimized map from the export
+    # path.
+    kf_ate = float("nan")
+    m = tracker.map
+    valid = np.nonzero(m.kf_valid)[0]
+    if len(valid) >= 4:
+        from orbslam3_cpp_fork_tpu.utils.evaluation import align_umeyama
+
+        centers = -np.einsum("kji,kj->ki", m.kf_R[valid], m.kf_t[valid])
+        gt_kf = ts[np.clip(m.kf_frame_id[valid], 0, len(frames) - 1)]
+        s_a, R_a, t_a = align_umeyama(centers, gt_kf, with_scale=True)
+        resid = np.linalg.norm((s_a * centers @ R_a.T + t_a) - gt_kf, axis=1)
+        kf_ate = float(np.sqrt((resid ** 2).mean()))
     # Per-stage latency decomposition (VERDICT r2 item 1).
     stages = {
         name: round(s["mean_ms"], 2)
@@ -242,7 +257,11 @@ def main():
                 "n_pipelined_frames": int(tracker.n_pipelined_frames),
                 "n_sync_frames": int(tracker.n_sync_frames),
                 "n_keyframes": int(n_kfs),
+                "n_kf_skipped_backpressure": int(
+                    tracker.n_kf_skipped_backpressure
+                ),
                 "n_loops_closed": int(n_loops),
+                "kf_ate_scaled_m": round(kf_ate, 4),
                 "n_frames": len(frames),
                 "stage_ms_mean": stages,
             }

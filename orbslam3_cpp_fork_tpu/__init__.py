@@ -44,24 +44,26 @@ import jax as _jax
 # lower precision explicitly at their call sites.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent XLA compilation cache: the runtime dispatches ~30 distinct
-# jitted programs (tracking step, triangulation/fusion batches, BA shape
-# buckets, pose graph...) whose first compile costs 10-40 s each. A
-# mapping-stage program that first-compiles MID-SEQUENCE stalls the
-# worker for that long and the tracker walks off its own map frontier —
-# with the on-disk cache, every shape ever compiled on this machine
-# loads in milliseconds in later processes (tests, benches, examples).
+# Persistent XLA compilation cache — OPT-IN via ORBSLAM3_TPU_JAX_CACHE.
+# The runtime dispatches ~30 distinct jitted programs whose first
+# compile costs 10-40 s each, and the cache makes later processes load
+# them in milliseconds. It is NOT enabled by default: on this machine
+# XLA:CPU's AOT loader intermittently disagrees with its own compiler
+# about host CPU features ("Machine type used for XLA:CPU compilation
+# doesn't match the machine type for execution ... could lead to
+# SIGILL") and a cached CPU executable loaded under the mismatch
+# aborted the process mid-test-suite. In-process warm passes
+# (Tracker.warm_mapping_programs + the bench's warm sweep) cover the
+# compile-stall problem without the cross-process cache.
 import os as _os
 
-try:  # pragma: no cover - cache dir creation is environment-dependent
-    _cache_dir = _os.environ.get(
-        "ORBSLAM3_TPU_JAX_CACHE",
-        _os.path.join(
-            _os.path.expanduser("~"), ".cache", "orbslam3_tpu_jax"
-        ),
-    )
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # cache is an optimization, never a requirement
-    pass
+_cache_dir = _os.environ.get("ORBSLAM3_TPU_JAX_CACHE")
+if _cache_dir:
+    try:  # pragma: no cover - environment-dependent
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5
+        )
+    except Exception:  # cache is an optimization, never a requirement
+        pass

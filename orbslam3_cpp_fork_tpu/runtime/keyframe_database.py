@@ -30,6 +30,8 @@ test_codebook_refresh_cross_scene — the recall validation SURVEY.md
 
 from __future__ import annotations
 
+import threading
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +69,12 @@ class KeyFrameDatabase:
         # the corpus refresh_codebook re-trains from and re-histograms.
         self._desc_store: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.n_refreshes = 0
+        # The database is shared across the tracking, mapping and
+        # loop-closing threads (add/erase from loop + culling, queries
+        # from relocalization and detection, refresh from map spawns) —
+        # one lock serializes every public operation; each costs
+        # single-digit milliseconds.
+        self._lock = threading.RLock()
 
     # ------------------------------------------------------------------
 
@@ -103,42 +111,48 @@ class KeyFrameDatabase:
     def histogram(self, desc_i8: np.ndarray, valid: np.ndarray) -> np.ndarray | None:
         """Word histogram of a frame, or None while the online vocabulary
         is still collecting descriptors."""
-        if self.codebook is None:
-            return None
-        return self._hist(desc_i8, valid)
+        with self._lock:
+            if self.codebook is None:
+                return None
+            return self._hist(desc_i8, valid)
 
     def add(self, k: int, desc_i8: np.ndarray, valid: np.ndarray,
             hist: np.ndarray | None = None):
         """Register a keyframe. Pass `hist` (from `histogram`) to reuse
         an already-computed signature — callers that both query and add
         the same frame would otherwise pay the device round trip twice."""
-        self._desc_store[k] = (
-            np.packbits(
-                desc_i8.astype(np.uint8), axis=-1, bitorder="little"
-            ),
-            valid.copy(),
-        )
-        if self.codebook is None:
-            d = desc_i8[valid]
-            self._pool.append(d.copy())
-            self._pool_count += len(d)
-            self._pending[k] = (desc_i8.copy(), valid.copy())
-            self._maybe_build_codebook()
-            return
-        self.hists[k] = self._hist(desc_i8, valid) if hist is None else hist
-        self.present[k] = True
+        with self._lock:
+            self._desc_store[k] = (
+                np.packbits(
+                    desc_i8.astype(np.uint8), axis=-1, bitorder="little"
+                ),
+                valid.copy(),
+            )
+            if self.codebook is None:
+                d = desc_i8[valid]
+                self._pool.append(d.copy())
+                self._pool_count += len(d)
+                self._pending[k] = (desc_i8.copy(), valid.copy())
+                self._maybe_build_codebook()
+                return
+            self.hists[k] = (
+                self._hist(desc_i8, valid) if hist is None else hist
+            )
+            self.present[k] = True
 
     def erase(self, k: int):
-        self.present[k] = False
-        self.hists[k] = 0.0
-        self._pending.pop(k, None)
-        self._desc_store.pop(k, None)
+        with self._lock:
+            self.present[k] = False
+            self.hists[k] = 0.0
+            self._pending.pop(k, None)
+            self._desc_store.pop(k, None)
 
     def clear(self):
-        self.present[:] = False
-        self.hists[:] = 0.0
-        self._pending.clear()
-        self._desc_store.clear()
+        with self._lock:
+            self.present[:] = False
+            self.hists[:] = 0.0
+            self._pending.clear()
+            self._desc_store.clear()
 
     def refresh_codebook(self, lloyd_iters: int = 1, sample_cap: int = 65536):
         """Re-train the vocabulary from the WHOLE accumulated corpus and
@@ -151,6 +165,10 @@ class KeyFrameDatabase:
         center. The Tracker calls this when a new Atlas map spawns (a
         new scene is coming; the old first-seconds sample must not
         serve it forever)."""
+        with self._lock:
+            return self._refresh_codebook_locked(lloyd_iters, sample_cap)
+
+    def _refresh_codebook_locked(self, lloyd_iters: int, sample_cap: int):
         if not self._desc_store:
             return
         packs = []
@@ -211,10 +229,11 @@ class KeyFrameDatabase:
         """Top-n keyframes by idf-weighted centered cosine similarity,
         excluding the given set (the reference excludes the query's
         covisibility group, src/KeyFrameDatabase.cc:629)."""
-        if self.codebook is None or not self.present.any():
-            return np.zeros(0, np.int64), np.zeros(0, np.float32)
-        rows = np.nonzero(self.present)[0]
-        scores = self._scores(hist, rows)
+        with self._lock:
+            if self.codebook is None or not self.present.any():
+                return np.zeros(0, np.int64), np.zeros(0, np.float32)
+            rows = np.nonzero(self.present)[0]
+            scores = self._scores(hist, rows)
         if exclude is not None and len(exclude):
             scores[np.isin(rows, np.asarray(exclude, np.int64))] = -1.0
         order = np.argsort(-scores)[:n_best]
@@ -255,19 +274,20 @@ class KeyFrameDatabase:
         aliasing. `covis(row) -> iterable of covisible rows` is supplied
         by the caller (the database spans Atlas maps; covisibility
         lives in each map's graph)."""
-        if self.codebook is None or not self.present.any():
-            return np.zeros(0, np.int64), np.zeros(0, np.float32)
-        rows = np.nonzero(self.present)[0]
-        sub_scores = self._scores(hist, rows)
+        with self._lock:
+            if self.codebook is None or not self.present.any():
+                return np.zeros(0, np.int64), np.zeros(0, np.float32)
+            rows = np.nonzero(self.present)[0]
+            sub_scores = self._scores(hist, rows)
+            shared_sub = (self.hists[rows] > 0).astype(np.float32) @ (
+                hist > 0
+            ).astype(np.float32)
         if exclude is not None and len(exclude):
             sub_scores[np.isin(rows, np.asarray(exclude, np.int64))] = -1.0
         # Global-row score lookup for the covisible-group accumulation.
         scores = np.full(self.hists.shape[0], -1.0, np.float32)
         scores[rows] = sub_scores
 
-        shared_sub = (self.hists[rows] > 0).astype(np.float32) @ (
-            hist > 0
-        ).astype(np.float32)
         shared_sub[sub_scores < 0] = 0
         mx = shared_sub.max() if len(shared_sub) else 0.0
         if mx < 1:

@@ -532,9 +532,18 @@ class LoopCloser:
         if not fresh:
             return None
         # 2) Fresh detection from the keyframe database. Exclusion set:
-        # covisible group of k + temporally recent keyframes.
-        w = m.covisibility_weights(k)
-        exclude = [self._gid(int(x)) for x in np.nonzero(w > 0)[0]] + [self._gid(k)]
+        # TEMPORALLY recent keyframes + k itself. The reference excludes
+        # the covisible group (src/KeyFrameDatabase.cc:629) because in
+        # its pipeline covisibility implies temporal adjacency until a
+        # loop is corrected — here the tracker's frustum-augmented
+        # local map re-binds OLD landmarks the moment a drifted revisit
+        # overlaps them, which makes the true loop keyframes covisible
+        # BEFORE detection ever sees them. A temporally-distant
+        # covisible is not a trivial neighbor: it is an already
+        # geometrically-verified loop whose accumulated drift still
+        # needs the essential-graph correction, so it must stay in the
+        # candidate set.
+        exclude = [self._gid(k)]
         recent = np.nonzero(
             m.kf_valid & (m.kf_frame_id > m.kf_frame_id[k] - 3 * 30)
         )[0]

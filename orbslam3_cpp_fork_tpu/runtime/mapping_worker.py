@@ -36,6 +36,62 @@ import threading
 log = logging.getLogger("orbslam3_tpu.mapping")
 
 
+class LoopWorker:
+    """Dedicated place-recognition stage — the reference's LoopClosing
+    THREAD (src/System.cc:244, LoopClosing::Run :110): consumes every
+    keyframe the mapping stage finishes and runs detection, validation
+    and correction without blocking the mapping worker. Detection is
+    never skipped; the queue is drained keyframe by keyframe exactly
+    like the reference's loop (:110-126)."""
+
+    def __init__(self, tracker):
+        self.tracker = tracker
+        self.q: queue.Queue = queue.Queue()
+        self.idle = threading.Event()
+        self.idle.set()
+        self.error: BaseException | None = None
+        self._thread = threading.Thread(
+            target=self._run, name="loop_closing", daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, k: int, map_ref):
+        self.idle.clear()
+        self.q.put((k, map_ref))
+
+    def busy(self) -> bool:
+        return not (self.idle.is_set() and self.q.empty())
+
+    def flush(self):
+        self.q.join()
+        self.idle.wait()
+        if self.error is not None:
+            err, self.error = self.error, None
+            raise err
+
+    def stop(self):
+        self.flush()
+        self.q.put(None)
+        self._thread.join(timeout=30)
+
+    def _run(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                self.q.task_done()
+                return
+            k, map_ref = item
+            try:
+                self.tracker._loop_step(k, map_ref)
+            except BaseException as e:  # surface at the next flush
+                log.exception("loop step failed for KF %d", k)
+                self.error = e
+            finally:
+                self.q.task_done()
+                if self.q.empty():
+                    self.idle.set()
+
+
 class MappingWorker:
     """Consumes keyframe slots; runs Tracker._mapping_step on each."""
 

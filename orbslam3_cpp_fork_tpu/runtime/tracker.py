@@ -52,6 +52,36 @@ from ..utils import lie
 _u8_to_f32 = jax.jit(lambda x: x.astype(jnp.float32))
 
 
+def informed_obs_drop(o_lm: np.ndarray, cap: int,
+                      rng: np.random.Generator, keep_per_lm: int = 4
+                      ) -> np.ndarray:
+    """Select `cap` observation indices, preferring to KEEP a core of
+    up to `keep_per_lm` observations per landmark before any landmark
+    loses more (the r03 uniform random drop silently removed ALL
+    observations of some landmarks at exactly the map sizes global BA
+    exists for; the reference's GBA uses every observation,
+    src/Optimizer.cc:46-377 — this is the bounded-memory compromise).
+    Which observations form a landmark's core is randomized."""
+    n = len(o_lm)
+    if n <= cap:
+        return np.arange(n)
+    perm = rng.permutation(n)
+    lm_p = o_lm[perm]
+    srt = np.argsort(lm_p, kind="stable")
+    lm_s = lm_p[srt]
+    new_grp = np.r_[True, lm_s[1:] != lm_s[:-1]]
+    grp_start_idx = np.nonzero(new_grp)[0]
+    grp_id = np.cumsum(new_grp) - 1
+    rank = np.arange(n) - grp_start_idx[grp_id]
+    rank_p = np.empty(n, np.int64)
+    rank_p[srt] = rank
+    core = perm[rank_p < keep_per_lm]
+    rest = perm[rank_p >= keep_per_lm]
+    if len(core) >= cap:
+        return core[:cap]
+    return np.concatenate([core, rest[: cap - len(core)]])
+
+
 def measure_device_rtt(n: int = 5) -> float:
     """Round-trip latency (ms) of one synchronous dispatch+fetch on the
     default backend. A locally attached accelerator measures well under
@@ -228,6 +258,13 @@ class TrackerConfig:
     # 50 inliers after the projection-search escalation, :3596).
     reloc_min_inliers: int = 50
     kf_max_interval: int = 30  # frames (reference mMaxFrames = fps)
+    # Minimum frames between keyframes (reference mMinFrames = 0; 3-4
+    # here because each insertion costs a full mapping step whose
+    # latency bounds how far the map frontier trails the camera — at
+    # ~150 ms per step, inserting every <4 frames of a 20 fps stream
+    # permanently saturates the worker and the backlog turns into
+    # tracking dips).
+    kf_min_interval: int = 4
     # Covisible neighbors triangulated against per new keyframe. The
     # reference visits 10 (20 for mono, LocalMapping::CreateNewMapPoints)
     # sequentially on an idle core; here every pair adds a 1000x1000
@@ -894,10 +931,16 @@ class Tracker:
         self._pending_merge: tuple | None = None
         self._dev_local: dict | None = None  # device local-map snapshot
         self.worker = None
+        self.loop_worker = None
         if cfg.async_mapping:
-            from .mapping_worker import MappingWorker
+            from .mapping_worker import LoopWorker, MappingWorker
 
             self.worker = MappingWorker(self)
+            if self.loop_closer is not None:
+                # Dedicated LoopClosing thread (src/System.cc:244):
+                # detection/validation/correction never block the
+                # mapping worker's triangulate/fuse/BA throughput.
+                self.loop_worker = LoopWorker(self)
         self.n_kf_skipped_backpressure = 0
         # Inertial hand-backs from the background mapping stage: a
         # bad-IMU verdict resets the map on the track thread (it
@@ -1246,9 +1289,15 @@ class Tracker:
         if m.big_change_idx == self._seen_change_idx:
             return
         # In-flight pipelined frames were computed against the
-        # pre-correction map: retire them before rebasing, then restart
-        # the device chain from the corrected pose.
-        self._drain_pipeline()
+        # pre-correction map: DROP them (retiring would compose their
+        # pre-correction poses against corrected keyframe poses and
+        # poison their trajectory records and landmark stats), then
+        # restart the device chain from the corrected pose.
+        self.n_frames_dropped += len(self._pipe)
+        for f_drop, _, _ in self._pipe:
+            f_drop.img_u8 = None
+        self._pipe.clear()
+        self._chain = None
         self._seen_change_idx = m.big_change_idx
         if self.last is None or self.last.R is None or not self.trajectory:
             self.velocity = None
@@ -1483,12 +1532,14 @@ class Tracker:
         self.last = None
 
     def flush_mapping(self):
-        """Drain the tracking pipeline, the background mapping stage and
-        any in-flight global BA. Call before reading a consistent
-        whole-map state."""
+        """Drain the tracking pipeline, the background mapping stage,
+        the loop-closing stage and any in-flight global BA. Call before
+        reading a consistent whole-map state."""
         self._drain_pipeline()
         if self.worker is not None:
             self.worker.flush()
+        if self.loop_worker is not None:
+            self.loop_worker.flush()
         t = self._gba_thread
         if t is not None and t.is_alive():
             t.join(timeout=600)
@@ -1986,74 +2037,87 @@ class Tracker:
         c = self._dev_local
         if c is not None and c["ver"] == ver:
             return True
-        with self.map_lock:
-            last_bound = np.unique(self.last.lm_idx[self.last.lm_idx >= 0])
-            last_bound = last_bound[m.lm_valid[last_bound]]
-            local_kfs = self._local_keyframes(self.last)
-            # K2 expansion (UpdateLocalKeyFrames, src/Tracking.cc:3374):
-            # covisible neighbors of the strongest sharers extend the
-            # window AHEAD of the motion, where the current frame has no
-            # bindings yet.
-            if len(local_kfs):
-                k2 = [local_kfs]
-                for k1 in local_kfs[:3]:
-                    neigh, _ = m.covisible_keyframes(
-                        int(k1), min_weight=15, top=5
-                    )
-                    k2.append(neigh)
-                local_kfs = np.unique(np.concatenate(k2))
-            lm_ids = m.local_map_landmarks(local_kfs)
-            # Frustum augmentation: the covisibility window above is
-            # derived from the LAST frame's bound landmarks, so when
-            # tracking weakens it collapses with it (few bindings ->
-            # wrong/few local KFs -> thin snapshot -> fewer matches — a
-            # death spiral; measured: snapshots of ~600 landmarks while
-            # 1100+ map landmarks passed every projection gate of the
-            # live view). Add every map landmark that projects into a
-            # widened window around the last pose — one (L,3) matmul on
-            # host, and the 4096-slot capacity was sitting half empty.
-            if self.last.R is not None:
-                ids_all = np.nonzero(m.lm_valid)[0]
-                if len(ids_all):
-                    pc = m.lm_pos[ids_all] @ self.last.R.T + self.last.t
-                    z = np.maximum(pc[:, 2], 1e-6)
-                    u = self.fx * pc[:, 0] / z + self.cx
-                    v = self.fy * pc[:, 1] / z + self.cy
-                    wmar = 0.3 * self.cfg.width
-                    hmar = 0.3 * self.cfg.height
-                    okf = (
-                        (pc[:, 2] > 0.05)
-                        & (u >= -wmar) & (u < self.cfg.width + wmar)
-                        & (v >= -hmar) & (v < self.cfg.height + hmar)
-                    )
-                    lm_ids = np.union1d(lm_ids, ids_all[okf])
-            # Last-frame-bound landmarks first so capacity truncation
-            # can never drop the stage-1 carry set (a sorted union would
-            # keep lowest-id landmarks instead on big maps).
-            rest = np.setdiff1d(lm_ids, last_bound)
-            lm_ids = np.concatenate([last_bound, rest])[:cap]
-            n = len(lm_ids)
-            if n < 30:
-                self._dev_local = None
-                return False
-            pad = cap - n
+        # Never stall the track thread behind a long map-lock hold (a
+        # loop correction's essential graph runs ~1 s under the lock):
+        # with an existing snapshot, bounded staleness is the designed
+        # behavior — reuse it and refresh on a later frame.
+        if not self.map_lock.acquire(blocking=False):
+            if c is not None:
+                return True
+            self.map_lock.acquire()
+        try:
+            return self._refresh_dev_local_locked(m, cap, ver)
+        finally:
+            self.map_lock.release()
 
-            def padf(x, fill=0):
-                return np.concatenate(
-                    [x, np.full((pad, *x.shape[1:]), fill, x.dtype)]
+    def _refresh_dev_local_locked(self, m, cap, ver) -> bool:
+        last_bound = np.unique(self.last.lm_idx[self.last.lm_idx >= 0])
+        last_bound = last_bound[m.lm_valid[last_bound]]
+        local_kfs = self._local_keyframes(self.last)
+        # K2 expansion (UpdateLocalKeyFrames, src/Tracking.cc:3374):
+        # covisible neighbors of the strongest sharers extend the
+        # window AHEAD of the motion, where the current frame has no
+        # bindings yet.
+        if len(local_kfs):
+            k2 = [local_kfs]
+            for k1 in local_kfs[:3]:
+                neigh, _ = m.covisible_keyframes(
+                    int(k1), min_weight=15, top=5
                 )
+                k2.append(neigh)
+            local_kfs = np.unique(np.concatenate(k2))
+        lm_ids = m.local_map_landmarks(local_kfs)
+        # Frustum augmentation: the covisibility window above is
+        # derived from the LAST frame's bound landmarks, so when
+        # tracking weakens it collapses with it (few bindings ->
+        # wrong/few local KFs -> thin snapshot -> fewer matches — a
+        # death spiral; measured: snapshots of ~600 landmarks while
+        # 1100+ map landmarks passed every projection gate of the
+        # live view). Add every map landmark that projects into a
+        # widened window around the last pose — one (L,3) matmul on
+        # host, and the 4096-slot capacity was sitting half empty.
+        if self.last.R is not None:
+            ids_all = np.nonzero(m.lm_valid)[0]
+            if len(ids_all):
+                pc = m.lm_pos[ids_all] @ self.last.R.T + self.last.t
+                z = np.maximum(pc[:, 2], 1e-6)
+                u = self.fx * pc[:, 0] / z + self.cx
+                v = self.fy * pc[:, 1] / z + self.cy
+                wmar = 0.3 * self.cfg.width
+                hmar = 0.3 * self.cfg.height
+                okf = (
+                    (pc[:, 2] > 0.05)
+                    & (u >= -wmar) & (u < self.cfg.width + wmar)
+                    & (v >= -hmar) & (v < self.cfg.height + hmar)
+                )
+                lm_ids = np.union1d(lm_ids, ids_all[okf])
+        # Last-frame-bound landmarks first so capacity truncation
+        # can never drop the stage-1 carry set (a sorted union would
+        # keep lowest-id landmarks instead on big maps).
+        rest = np.setdiff1d(lm_ids, last_bound)
+        lm_ids = np.concatenate([last_bound, rest])[:cap]
+        n = len(lm_ids)
+        if n < 30:
+            self._dev_local = None
+            return False
+        pad = cap - n
 
-            self._snap_seq += 1
-            self._dev_local = {
-                "ver": ver,
-                "ids": lm_ids,
-                "pos": jnp.asarray(padf(m.lm_pos[lm_ids])),
-                "normal": jnp.asarray(padf(m.lm_normal[lm_ids])),
-                "mind": jnp.asarray(padf(m.lm_min_dist[lm_ids])),
-                "maxd": jnp.asarray(padf(m.lm_max_dist[lm_ids], 1.0)),
-                "desc": jnp.asarray(padf(m.lm_desc[lm_ids])),
-                "valid": jnp.asarray(padf(m.lm_valid[lm_ids], False)),
-            }
+        def padf(x, fill=0):
+            return np.concatenate(
+                [x, np.full((pad, *x.shape[1:]), fill, x.dtype)]
+            )
+
+        self._snap_seq += 1
+        self._dev_local = {
+            "ver": ver,
+            "ids": lm_ids,
+            "pos": jnp.asarray(padf(m.lm_pos[lm_ids])),
+            "normal": jnp.asarray(padf(m.lm_normal[lm_ids])),
+            "mind": jnp.asarray(padf(m.lm_min_dist[lm_ids])),
+            "maxd": jnp.asarray(padf(m.lm_max_dist[lm_ids], 1.0)),
+            "desc": jnp.asarray(padf(m.lm_desc[lm_ids])),
+            "valid": jnp.asarray(padf(m.lm_valid[lm_ids], False)),
+        }
         return True
 
     def _track_frame_fused(self, frame: FrameData) -> bool:
@@ -2429,7 +2493,10 @@ class Tracker:
         frames_since_kf = frame.frame_id - self.last_kf_frame_id
         need = (
             frames_since_kf >= self.cfg.kf_max_interval
-            or (n_in < self.cfg.kf_ref_ratio * ref_tracked and frames_since_kf >= 3)
+            or (
+                n_in < self.cfg.kf_ref_ratio * ref_tracked
+                and frames_since_kf >= self.cfg.kf_min_interval
+            )
         ) and n_in > 15
         if self.inertial and self.last_kf_slot >= 0:
             # Inertial cadence: steady KF stream so the preintegration
@@ -2648,7 +2715,6 @@ class Tracker:
         n_kf = self.map.n_keyframes()
         imu_ready = self.inertial and self.map.imu_stage >= 1
         frame.lm_idx[:] = -1
-        self.velocity = None
         self.n_lost_events += 1
         if n_kf > 10 or imu_ready:
             log.warning(
@@ -2657,19 +2723,23 @@ class Tracker:
             )
             self.state = TrackState.RECENTLY_LOST
             self.lost_t = frame.timestamp
-            # Keep the last pose for EVERY sensor: inertial because the
-            # IMU keeps predicting from it (the reference keeps
-            # publishing IMU-predicted poses while RECENTLY_LOST,
-            # src/Tracking.cc:1924-1949), visual because the dominant
-            # loss mode under a lagging mapping stage is transient
-            # frontier starvation — the pose estimate is still sound,
-            # and _recently_lost_step re-acquires against the map from
-            # it as soon as the worker catches up (poses of
-            # RECENTLY_LOST frames are never recorded to the
-            # trajectory).
+            # Keep the last pose AND the constant-velocity motion model
+            # for EVERY sensor: inertial because the IMU keeps
+            # predicting (the reference keeps publishing IMU-predicted
+            # poses while RECENTLY_LOST, src/Tracking.cc:1924-1949),
+            # visual because the dominant loss mode under a lagging
+            # mapping stage is transient frontier starvation — the last
+            # healthy velocity extrapolates the true view for tens of
+            # frames (a frozen pose walks out of the re-acquisition
+            # window within ~5 frames of rotation and the 5 s recovery
+            # window is then wasted), and _recently_lost_step
+            # re-acquires against the map as soon as the worker catches
+            # up. Poses of RECENTLY_LOST frames are never recorded to
+            # the trajectory.
         else:
             log.warning("tracking LOST at frame %d (%d KFs)", frame.frame_id, n_kf)
             self.state = TrackState.LOST
+            self.velocity = None
             frame.R = None
             frame.t = None
         self.last = frame
@@ -2744,6 +2814,7 @@ class Tracker:
                 frame.frame_id, frame.timestamp - self.lost_t,
             )
             self.state = TrackState.LOST
+            self.velocity = None
             self.lost_frames = 0
 
     def _local_keyframes(self, frame: FrameData) -> np.ndarray:
@@ -2781,6 +2852,14 @@ class Tracker:
                 self.n_kf_skipped_backpressure += 1
                 return
             self.map_lock.release()
+            if m.big_change_idx != self._seen_change_idx:
+                # The map was re-aligned (loop correction / global BA /
+                # IMU ladder) after this frame was tracked: its pose is
+                # in the PRE-correction frame and would enter the
+                # corrected map as a drifted keyframe. Skip; the track
+                # thread rebases at the next frame and re-decides.
+                self.n_kf_skipped_backpressure += 1
+                return
         with self.map_lock:
             try:
                 k = m.add_keyframe(
@@ -2831,20 +2910,16 @@ class Tracker:
         for k in live[:-1]:
             seen = m.kf_lm_idx[k][m.kf_lm_idx[k] >= 0]
             m.update_landmark_stats(np.unique(seen))
-            if self.loop_closer is not None:
-                # Full detection even in catch-up mode: the reference's
-                # LoopClosing runs NewDetectCommonRegions on every queued
-                # KF (src/LoopClosing.cc:110-126) — skipping fresh
-                # queries under backlog starved detection exactly on the
-                # busy revisit legs (r03: 0 loops closed on a 2.3pi
-                # ring).
-                merge = self.loop_closer.process_keyframe(k)
-                if merge is not None:
-                    # Merges rewrite live tracking state: hand back to
-                    # the track thread (executed at the next frame).
-                    self._pending_merge = (k, merge)
+            # Full loop detection even for catch-up keyframes — the
+            # reference's LoopClosing runs NewDetectCommonRegions on
+            # every queued KF (src/LoopClosing.cc:110-126); skipping
+            # fresh queries under backlog starved detection exactly on
+            # the busy revisit legs (r03: 0 loops closed on a 2.3pi
+            # ring).
+            if self.loop_worker is not None:
+                self.loop_worker.submit(k, m)
             else:
-                self.kfdb.add(self._gid(k), self._kf_bits(k), m.kf_feat_valid[k])
+                self._loop_step(k, m)
         log.info(
             "mapping catch-up: registered %d queued KFs, full step on %d",
             len(live) - 1, live[-1],
@@ -2939,6 +3014,11 @@ class Tracker:
         interrupted = interrupted or (
             self.worker is not None and not self.worker.q.empty()
         )
+        # Never more than one keyframe between window BAs: deferring
+        # further compounds into the rotation-dominant trajectory's
+        # translation drift, while BA at EVERY keyframe raises the
+        # step cost enough to re-create the backlog it was polishing
+        # away (measured both ways on the paced ring).
         overdue = self.n_kf_inserted - self._last_ba_at >= 2
         ba_ctx = None
         if self.inertial and m.imu_stage >= 1:
@@ -2995,42 +3075,60 @@ class Tracker:
             else:
                 self._imu_ladder(frame, k)
 
-        # Place recognition: loop detection/correction, then register the
-        # keyframe in the database (LoopClosing::InsertKeyFrame handoff).
-        # Detection runs on EVERY keyframe regardless of backlog — the
-        # reference's LoopClosing thread consumes its whole queue and
-        # never trades detection away (src/LoopClosing.cc:110-126); with
-        # the word-assignment matvec on the host CPU backend the
-        # no-candidate case costs ~5 ms.
-        if self.loop_closer is not None:
-            big0 = m.big_change_idx
-            with self.timers.span("map_loop"):
-                merge = self.loop_closer.process_keyframe(k)
-            if merge is not None:
-                if self.worker is not None:
-                    # Merges rewrite live tracking state: hand back to
-                    # the track thread (executed at the next frame).
-                    self._pending_merge = (k, merge)
-                else:
-                    self._execute_merge(k, frame, *merge)
-            elif m.big_change_idx != big0 and frame is not None:
-                # A loop correction (+ global BA) moved the map under the
-                # live frame: re-anchor it on its own corrected keyframe
-                # and drop the motion model (the reference's map-change
-                # handling at Tracking.cc:1857 / UpdateFrameIMU).
-                frame.R = m.kf_R[k].copy()
-                frame.t = m.kf_t[k].copy()
-                self.velocity = None
-                self._seen_change_idx = m.big_change_idx
-                if self.inertial:
-                    self._sync_after_global(frame, k)
+        # Place recognition handoff (LoopClosing::InsertKeyFrame): on
+        # the pipeline, detection/validation/correction run on the
+        # DEDICATED loop thread (the reference's LoopClosing thread,
+        # src/System.cc:244) so the mapping worker's throughput is
+        # triangulation + fusion + BA only; synchronous mode runs the
+        # loop step inline. Detection runs on EVERY keyframe — the
+        # reference consumes its whole queue and never trades detection
+        # away (src/LoopClosing.cc:110-126).
+        if self.loop_worker is not None:
+            self.loop_worker.submit(k, m)
         else:
-            self.kfdb.add(self._gid(k), self._kf_bits(k), m.kf_feat_valid[k])
+            self._loop_step(k, m, frame=frame)
 
         log.info(
             "KF %d mapped: %d new lms, map: %d KFs / %d lms",
             k, len(new_ids), m.n_keyframes(), m.n_landmarks(),
         )
+
+    def _loop_step(self, k: int, map_ref: MapState,
+                   frame: FrameData | None = None):
+        """One LoopClosing iteration for keyframe k: detection,
+        validation, correction/merge proposal, database registration
+        (LoopClosing::Run body, src/LoopClosing.cc:110-310). Runs on the
+        LoopWorker thread on the pipeline (frame=None: live-state
+        effects travel through big_change_idx + the track thread's
+        rebase, and merge proposals are parked in `_pending_merge`), or
+        inline in synchronous mode."""
+        m = map_ref
+        if m is not self.map or not m.kf_valid[k]:
+            return
+        if self.loop_closer is None:
+            self.kfdb.add(self._gid(k), self._kf_bits(k), m.kf_feat_valid[k])
+            return
+        big0 = m.big_change_idx
+        with self.timers.span("map_loop"):
+            merge = self.loop_closer.process_keyframe(k)
+        if merge is not None:
+            if self.worker is not None:
+                # Merges rewrite live tracking state: hand back to
+                # the track thread (executed at the next frame).
+                self._pending_merge = (k, merge)
+            else:
+                self._execute_merge(k, frame, *merge)
+        elif m.big_change_idx != big0 and frame is not None:
+            # A loop correction (+ global BA) moved the map under the
+            # live frame: re-anchor it on its own corrected keyframe
+            # and drop the motion model (the reference's map-change
+            # handling at Tracking.cc:1857 / UpdateFrameIMU).
+            frame.R = m.kf_R[k].copy()
+            frame.t = m.kf_t[k].copy()
+            self.velocity = None
+            self._seen_change_idx = m.big_change_idx
+            if self.inertial:
+                self._sync_after_global(frame, k)
 
     # ------------------------------------------------------------------
     # Visual-inertial mapping (LocalMapping IMU init ladder + LocalInertialBA)
@@ -3373,7 +3471,9 @@ class Tracker:
         o_ur = np.concatenate(o_ur).astype(np.float32)
         o_st = np.concatenate(o_st)
         if len(o_kf) > obs_cap:
-            keep = np.random.default_rng(0).permutation(len(o_kf))[:obs_cap]
+            keep = informed_obs_drop(
+                o_lm, obs_cap, np.random.default_rng(0)
+            )
             o_kf, o_lm, o_uv, o_sig = o_kf[keep], o_lm[keep], o_uv[keep], o_sig[keep]
             o_ur, o_st = o_ur[keep], o_st[keep]
         pad_o = obs_cap - len(o_kf)
@@ -3660,7 +3760,7 @@ class Tracker:
         )
         for h in out:
             h.copy_to_host_async()
-        return (k1, ks, pair_ok, free1, out)
+        return (k1, ks, pair_ok, free1, out, m.big_change_idx)
 
     def _triangulate_apply(self, ctx) -> list[int]:
         """Fetch half: land the triangulation results and allocate
@@ -3668,9 +3768,20 @@ class Tracker:
         reference binds a feature at its first successful pair)."""
         if ctx is None:
             return []
-        k1, ks, pair_ok, free1, out = ctx
+        k1, ks, pair_ok, free1, out, big0 = ctx
         m = self.map
         f1s, f2s, Xs, n_match = jax.device_get(out)
+        if m.big_change_idx != big0:
+            # The map moved wholesale mid-program (loop correction /
+            # global BA / IMU re-alignment from another stage): these
+            # points were triangulated in the PRE-correction frame and
+            # would land as garbage in the corrected map. Drop the
+            # batch; the next keyframe re-triangulates the region.
+            log.info(
+                "dropping triangulation batch for KF %d (map re-aligned "
+                "mid-solve)", k1,
+            )
+            return []
         if log.isEnabledFor(logging.DEBUG):
             log.debug(
                 "tri KF %d: %d free, pairs %s, matches %s, accepted %s",
@@ -3847,7 +3958,7 @@ class Tracker:
         )
         for h in out:
             h.copy_to_host_async()
-        return (k, ids, rows, nT, n_ids, out)
+        return (k, ids, rows, nT, n_ids, out, m.big_change_idx)
 
     def _fuse_apply(self, ctx):
         """Fetch half of duplicate-landmark fusion: land the match
@@ -3855,9 +3966,11 @@ class Tracker:
         the write-back only)."""
         if ctx is None:
             return
-        k, ids, rows, nT, n_ids, out = ctx
+        k, ids, rows, nT, n_ids, out, big0 = ctx
         m = self.map
         slots_b, feats_b = jax.device_get(out)
+        if m.big_change_idx != big0:
+            return  # matched against pre-correction geometry: drop
         with self.map_lock:
             n_fused = 0
             for j in range(nT):
@@ -4100,9 +4213,9 @@ class Tracker:
         o_ur = (ur_raw - self.cx).astype(np.float32)
         o_st = ur_raw >= 0
         if len(o_kf) > cfg.ba_obs_cap:
-            keep = np.random.default_rng(0).permutation(len(o_kf))[
-                : cfg.ba_obs_cap
-            ]
+            keep = informed_obs_drop(
+                o_lm, cfg.ba_obs_cap, np.random.default_rng(0)
+            )
             o_kf, o_lm, o_uv, o_sig = o_kf[keep], o_lm[keep], o_uv[keep], o_sig[keep]
             o_ur, o_st = o_ur[keep], o_st[keep]
         # Bucketed capacities: the solver's per-iteration cost scales
@@ -4178,23 +4291,26 @@ class Tracker:
                 time.sleep(0.012)
         for h in (res.R, res.t, res.Xw):
             h.copy_to_host_async()
-        return (res, kfs, lms, m, m.kf_gen[kfs].copy())
+        return (res, kfs, lms, m, m.kf_gen[kfs].copy(), m.big_change_idx)
 
     def _local_ba_apply(self, ctx):
         """Fetch the BA result and write it back. Keyframe rows are
         guarded by generation (a slot culled between dispatch and apply
         may have been reused by a brand-new keyframe from the track
-        thread); landmark rows by liveness."""
+        thread); landmark rows by liveness; the whole write-back is
+        dropped if the map moved wholesale mid-solve (a loop correction
+        or IMU re-alignment from the loop thread — stale pre-correction
+        poses applied after it would undo the correction)."""
         if ctx is None:
             return
-        res, kfs, lms, m, gen0 = ctx
+        res, kfs, lms, m, gen0, big0 = ctx
         R_new, t_new, X_new = jax.device_get((res.R, res.t, res.Xw))
         R_new = np.asarray(R_new)[: len(kfs)]
         t_new = np.asarray(t_new)[: len(kfs)]
         X_new = np.asarray(X_new)[: len(lms)]
         with self.map_lock:
-            if m is not self.map:
-                return  # map reset/replaced during the solve
+            if m is not self.map or m.big_change_idx != big0:
+                return  # map reset/replaced/re-aligned during the solve
             okk = m.kf_valid[kfs] & (m.kf_gen[kfs] == gen0)
             m.kf_R[kfs[okk]] = R_new[okk]
             m.kf_t[kfs[okk]] = t_new[okk]
@@ -4247,10 +4363,13 @@ class Tracker:
                 return None
             if n_obs > cfg.gba_obs_cap:
                 log.warning(
-                    "global BA: subsampling %d observations to cap %d",
+                    "global BA: subsampling %d observations to cap %d "
+                    "(informed drop: every landmark keeps a core of 4)",
                     n_obs, cfg.gba_obs_cap,
                 )
-                keep = np.random.default_rng(0).permutation(n_obs)[: cfg.gba_obs_cap]
+                keep = informed_obs_drop(
+                    o_lm, cfg.gba_obs_cap, np.random.default_rng(0)
+                )
                 ks, fs, o_lm = ks[keep], fs[keep], o_lm[keep]
                 n_obs = len(ks)
             return dict(
@@ -4392,6 +4511,10 @@ class Tracker:
                     "%d new landmarks created during the solve",
                     len(new_k), len(new_l),
                 )
+            # Bump INSIDE the lock: stale in-flight worker results are
+            # guarded by big_change_idx, so the bump must be visible
+            # before any other thread can observe the corrected poses.
+            m.big_change_idx += 1
 
     def _vi_global_ba_background(self, k: int):
         """FullInertialBA on the background GBA thread: snapshot the
@@ -4468,7 +4591,6 @@ class Tracker:
                             m.kf_vel[kfs_arr[ok]] = np.asarray(res.vel)[:n][ok]
                             m.kf_bg[kfs_arr[ok]] = np.asarray(res.bg)[:n][ok]
                             m.kf_ba[kfs_arr[ok]] = np.asarray(res.ba)[:n][ok]
-                m.big_change_idx += 1
             except Exception:
                 log.exception("background inertial global BA failed")
 
@@ -4493,7 +4615,7 @@ class Tracker:
             if self.worker is None:
                 with self.timers.span("global_ba"):
                     self._full_inertial_ba(k, prior_g=0.0, prior_a=0.0, iters=7)
-                m.big_change_idx += 1
+                m.big_change_idx += 1  # inline solve writes directly
             else:
                 # Background-thread FullInertialBA — the reference
                 # spawns its GBA thread for BOTH sensors
@@ -4505,7 +4627,6 @@ class Tracker:
         if self.worker is None:
             with self.timers.span("global_ba"):
                 self._global_ba(fix=[c])
-            m.big_change_idx += 1
             return
         if self._gba_thread is not None and self._gba_thread.is_alive():
             log.warning("global BA already running; skipping new request")
@@ -4519,7 +4640,6 @@ class Tracker:
                 with self.timers.span("global_ba"):
                     res = self._gba_solve(snap, None, background=True)
                     self._gba_apply(snap, *res)
-                m.big_change_idx += 1
             except Exception:
                 log.exception("background global BA failed")
 
@@ -4536,7 +4656,15 @@ class Tracker:
         """Store T_cam<-refKF so later KF-pose optimization propagates
         into the exported trajectory (mlRelativeFramePoses)."""
         k = self.ref_kf
-        Rr, tr = self.map.kf_R[k], self.map.kf_t[k]
+        with self.map_lock:
+            if self.map.big_change_idx != self._seen_change_idx:
+                # A background correction landed after this frame was
+                # tracked: its pose is pre-correction and would compose
+                # a poisoned relative record against the CORRECTED
+                # reference pose. Skip; the rebase restores consistency
+                # at the next frame.
+                return
+            Rr, tr = self.map.kf_R[k].copy(), self.map.kf_t[k].copy()
         # Tcr = Tcw * Trw^-1
         R_cr = frame.R @ Rr.T
         t_cr = frame.t - R_cr @ tr

@@ -174,3 +174,60 @@ def test_gba_apply_propagates_to_new_keyframes_and_landmarks():
     xc_before = X[0] @ R_new_kf.T + t_new_kf
     xc_after = m.lm_pos[lm] @ m.kf_R[j].T + m.kf_t[j]
     assert np.allclose(xc_before, xc_after, atol=1e-4)
+
+
+def test_loop_detection_never_skipped_under_backlog():
+    """VERDICT r3 item 3: the reference's LoopClosing consumes its whole
+    queue and runs NewDetectCommonRegions on EVERY keyframe
+    (src/LoopClosing.cc:110-126). Force a mapping backlog (slowed
+    mapping steps -> catch-up batches) and assert that the loop stage
+    still runs a fresh database query for every keyframe that reaches
+    it — detection is never traded away."""
+    import time as _time
+
+    from orbslam3_cpp_fork_tpu.runtime.loop_closing import LoopCloser
+
+    n = 80
+    scene, frames, Rs, ts, cfg = _ring_setup(n, total_angle=0.5 * np.pi)
+    cfg.kf_min_interval = 2  # eager insertion: guarantee a backlog
+    tr = Tracker(cfg)
+    assert tr.loop_worker is not None  # dedicated LoopClosing thread
+
+    calls = []
+    catch_up_batches = []
+    orig_proc = LoopCloser.process_keyframe
+    orig_batch = Tracker._mapping_step_batch
+    orig_step = Tracker._mapping_step
+
+    def slow_step(self, k, map_ref, frame=None):
+        _time.sleep(0.2)  # force the queue to back up
+        return orig_step(self, k, map_ref, frame=frame)
+
+    def spy_proc(self, k, detect=True):
+        calls.append((k, detect))
+        return orig_proc(self, k, detect=detect)
+
+    def spy_batch(self, ks, map_ref, frame=None):
+        catch_up_batches.append(len(ks))
+        return orig_batch(self, ks, map_ref, frame=frame)
+
+    Tracker._mapping_step = slow_step
+    Tracker._mapping_step_batch = spy_batch
+    LoopCloser.process_keyframe = spy_proc
+    try:
+        for i, f in enumerate(frames):
+            tr.track(f, i * 0.05)
+        tr.flush_mapping()
+    finally:
+        Tracker._mapping_step = orig_step
+        Tracker._mapping_step_batch = orig_batch
+        LoopCloser.process_keyframe = orig_proc
+
+    # Backlog genuinely occurred (catch-up drained multi-KF batches).
+    assert any(b >= 2 for b in catch_up_batches), catch_up_batches
+    # Every keyframe that reached the loop stage ran FULL detection
+    # (detect=True) — no registration-only calls.
+    assert len(calls) >= 0.8 * tr.n_kf_inserted, (
+        len(calls), tr.n_kf_inserted,
+    )
+    assert all(d for _, d in calls), "detection was skipped on some KFs"

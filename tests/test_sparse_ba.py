@@ -236,3 +236,30 @@ def test_sparse_vi_ba_matches_dense():
     v_err_s = np.linalg.norm(np.asarray(res_s.vel) - v, axis=-1).mean()
     v_err_0 = np.linalg.norm(vp - v, axis=-1).mean()
     assert v_err_s < 0.6 * v_err_0, (v_err_0, v_err_s)
+
+
+def test_informed_obs_drop_keeps_landmark_cores():
+    """VERDICT r3 item 8: at the observation cap, no landmark loses its
+    whole observation set — every landmark keeps min(4, count) obs."""
+    import numpy as np
+
+    from orbslam3_cpp_fork_tpu.runtime.tracker import informed_obs_drop
+
+    rng = np.random.default_rng(3)
+    # 400 landmarks with wildly uneven observation counts (1..60).
+    counts = rng.integers(1, 60, 400)
+    o_lm = np.repeat(np.arange(400), counts)
+    cap = len(o_lm) // 3
+    keep = informed_obs_drop(o_lm, cap, rng)
+    assert len(keep) == cap
+    assert len(np.unique(keep)) == cap  # no duplicates
+    kept_counts = np.bincount(o_lm[keep], minlength=400)
+    need = np.minimum(counts, 4)
+    # Core guarantee holds as long as the cap can accommodate the cores.
+    assert need.sum() <= cap
+    assert (kept_counts >= need).all(), (
+        kept_counts[kept_counts < need], need[kept_counts < need]
+    )
+    # Under-cap input passes through identity.
+    keep2 = informed_obs_drop(o_lm, len(o_lm) + 10, rng)
+    assert len(keep2) == len(o_lm)

@@ -197,3 +197,75 @@ def test_vi_async_pipeline_metric_scale(monkeypatch):
     # bounded lag) but the map must be METRIC.
     assert abs(res.scale - 1.0) < 0.2, f"scale off: {res.scale}"
     assert res.rmse_scaled < 0.15, res
+
+
+def test_vi_global_ba_background_patches_new_keyframe(vi_tracked):
+    """VERDICT r3 item 5: FullInertialBA after an inertial loop closure
+    runs on the background GBA thread (the reference spawns its GBA
+    thread for BOTH sensors, src/LoopClosing.cc:1346,2319-2322). The
+    launch must not block the caller, a keyframe inserted DURING the
+    solve must be patched through its anchor at apply time, and the VI
+    state (velocity/bias) must be written back with generation guards."""
+    import threading
+    import time as _time
+
+    from orbslam3_cpp_fork_tpu.runtime.tracker import Tracker
+
+    tracker, stamps, poses, Rs, ts = vi_tracked
+    m = tracker.map
+    assert m.imu_stage >= 1
+    k_last = int(np.nonzero(m.kf_valid)[0][-1])
+
+    inserted = threading.Event()
+    applied = threading.Event()
+    orig_apply = Tracker._gba_apply
+
+    def gated_apply(self, snap, R_new, t_new, X_new):
+        # Hold the apply until the test has inserted a mid-solve KF.
+        assert inserted.wait(timeout=60)
+        r = orig_apply(self, snap, R_new, t_new, X_new)
+        applied.set()
+        return r
+
+    Tracker._gba_apply = gated_apply
+    big0 = m.big_change_idx
+    try:
+        t0 = _time.perf_counter()
+        tracker._vi_global_ba_background(k_last)
+        launch_s = _time.perf_counter() - t0
+        assert launch_s < 5.0, f"launch blocked {launch_s:.1f}s"
+        assert tracker._gba_thread is not None
+
+        # Insert a new keyframe at a known relative pose from the last
+        # one while the solve runs (the mapping worker's insertion).
+        anchor = k_last
+        R_rel = np.eye(3, dtype=np.float32)
+        t_rel = np.array([0.03, 0.0, 0.0], np.float32)
+        R_new_kf = (R_rel @ m.kf_R[anchor]).astype(np.float32)
+        t_new_kf = (R_rel @ m.kf_t[anchor] + t_rel).astype(np.float32)
+        nf = m.cfg.n_features
+        j = m.add_keyframe(
+            R_new_kf, t_new_kf,
+            m.kf_xy[anchor], m.kf_level[anchor], m.kf_angle[anchor],
+            m.kf_desc[anchor], m.kf_feat_valid[anchor],
+            np.full(nf, -1, np.int32), 999.0, 99999,
+        )
+        seen = m.kf_lm_idx[anchor][m.kf_lm_idx[anchor] >= 0][:50]
+        m.obs[j, seen] = True
+        m.mark_obs_dirty()
+        inserted.set()
+
+        assert applied.wait(timeout=300), "background VI BA never applied"
+        tracker._gba_thread.join(timeout=300)
+    finally:
+        Tracker._gba_apply = orig_apply
+        inserted.set()
+
+    # The new KF was patched with the anchor's correction.
+    exp_R = R_rel @ m.kf_R[anchor]
+    exp_t = R_rel @ m.kf_t[anchor] + t_rel
+    assert np.allclose(m.kf_R[j], exp_R, atol=1e-4)
+    assert np.allclose(m.kf_t[j], exp_t, atol=1e-4)
+    # Correction visible to the track thread's rebase.
+    assert m.big_change_idx == big0 + 1
+    assert np.isfinite(m.kf_vel[np.nonzero(m.kf_valid)[0]]).all()

@@ -37,7 +37,13 @@ def main():
 
     import jax
 
-    if jax.default_backend() == "axon" and len(jax.devices()) < 2:
+    # The platform must be chosen BEFORE the first jax.devices() call
+    # initializes the backend (the sandbox sitecustomize pins the TPU
+    # platform via jax.config; querying devices first makes a later
+    # switch a no-op). Default: the virtual CPU mesh (single-chip
+    # sessions measure a RELATIVE curve there); set
+    # ORBSLAM3_SCALING_BACKEND=tpu on a real multi-chip slice.
+    if os.environ.get("ORBSLAM3_SCALING_BACKEND", "cpu") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
     from jax.sharding import Mesh
