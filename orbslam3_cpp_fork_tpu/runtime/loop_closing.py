@@ -192,6 +192,16 @@ class LoopConfig:
     # consecutive keyframes before correction (src/LoopClosing.cc:407).
     consecutive_kfs: int = 3
     fix_scale: bool = False  # stereo/RGB-D/inertial
+    # Retrieval-score floor below which a candidate is not worth the
+    # geometric validation (a ~50-100 ms Sim3 RANSAC + projection
+    # program per candidate). Genuine revisits score >= ~0.15 on the
+    # centered-idf-cosine signature; single-frame aliasing noise sits
+    # at 0.03-0.12 and used to burn the loop thread's whole budget on
+    # validations that always failed. The reference gates candidates
+    # with a minScore derived from the query's covisible neighbors
+    # (DetectLoopCandidates, src/KeyFrameDatabase.cc:92) — this is the
+    # fixed-floor analog for the dense-signature database.
+    min_candidate_score: float = 0.12
 
 
 MAX_MAPS = 16  # gid namespace width shared with the Tracker
@@ -569,6 +579,8 @@ class LoopCloser:
                       [(int(g) % max_k, round(float(s_), 3))
                        for g, s_ in zip(gids, scores)])
         for g, sc in zip(gids, scores):
+            if float(sc) < self.cfg.min_candidate_score:
+                continue  # aliasing noise: not worth a validation
             ns, c = int(g) // max_k, int(g) % max_k
             if ns not in maps_by_ns:
                 continue

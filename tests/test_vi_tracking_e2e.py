@@ -216,6 +216,26 @@ def test_vi_global_ba_background_patches_new_keyframe(vi_tracked):
     assert m.imu_stage >= 1
     k_last = int(np.nonzero(m.kf_valid)[0][-1])
 
+    # Pre-compile the off-stream solver variant on the MAIN thread: in
+    # this sandbox XLA:CPU compilation from a secondary thread has
+    # intermittently segfaulted deep in backend_compile_and_load (the
+    # same cpuid-confusion family as its AOT machine-feature warnings);
+    # the production path warms its programs before real-time pacing
+    # starts for the same reason.
+    import jax
+
+    from orbslam3_cpp_fork_tpu.optim.inertial import visual_inertial_ba
+
+    cfgT = tracker.cfg
+    with tracker.map_lock:
+        chain = m.temporal_window(k_last, 10**6)[::-1]
+        built = tracker._build_vi_problem(
+            chain, K_cap=cfgT.vi_full_kf_cap + cfgT.ba_fixed_cap,
+            obs_cap=cfgT.vi_obs_cap, put=tracker._offstream_put,
+        )
+    assert built is not None
+    jax.device_get(visual_inertial_ba(built[0], iters=7, gate_at=4).cost)
+
     inserted = threading.Event()
     applied = threading.Event()
     orig_apply = Tracker._gba_apply
