@@ -144,10 +144,57 @@ def _kernel_fps(scene, frames):
     return n_iter / (time.perf_counter() - t0)
 
 
+def _traj_ate(tracker, stamps, ts, n_frames):
+    """Exported-trajectory ATE + coverage for one finished run."""
+    from orbslam3_cpp_fork_tpu.utils.evaluation import ate_rmse
+
+    ts_est, Twc = tracker.export_trajectory()
+    coverage = len(ts_est) / n_frames
+    try:
+        ate = ate_rmse(ts_est, Twc[:, :3, 3], stamps, ts)
+    except Exception:
+        ate = None
+    return ate, coverage
+
+
+def _max_record_gap(tracker):
+    """Largest frame gap any exported relative record spans (VERDICT r4
+    item 3: must stay <= max_record_gap after re-anchoring)."""
+    gaps = [0]
+    maps_by_id = {m.map_id: m for m in tracker.atlas.maps}
+    for fid, _t, map_id, k, _R, _tcr in tracker.trajectory:
+        while (map_id, k) in tracker._kf_alias:
+            map_id, k = tracker._kf_alias[(map_id, k)]
+        m = maps_by_id.get(map_id)
+        if m is None or not m.kf_valid[k]:
+            continue
+        gaps.append(abs(int(fid) - int(m.kf_frame_id[k])))
+    return int(max(gaps))
+
+
+def _prev_round(path="."):
+    """Newest BENCH_r*.json for round-over-round comparison fields."""
+    import glob
+    import re
+
+    best = None
+    for f in glob.glob(f"{path}/BENCH_r*.json"):
+        mm = re.search(r"BENCH_r(\d+)\.json$", f)
+        if mm:
+            n = int(mm.group(1))
+            if best is None or n > best[0]:
+                best = (n, f)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as fh:
+            return {"round": best[0], **json.load(fh)}
+    except Exception:
+        return None
+
+
 def main():
     import os
-
-    from orbslam3_cpp_fork_tpu.utils.evaluation import ate_rmse
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "300"))
     scene, frames, Rs, ts = _render_sequence(n_frames)
@@ -183,6 +230,18 @@ def main():
         fr_tracker.worker.stop()
     freerun_fps = len(frames) / fr_track
 
+    # Sync-mode control: the same sequence, frame-synchronous mapping,
+    # unpaced. Its ATE is the accuracy of the ALGORITHMS with the
+    # concurrency layer removed — the distance between this number and
+    # the shipping async ATE is the accuracy cost of the pipeline
+    # (VERDICT r4 item 8: the 30x r04 gap was a judge's discovery, not
+    # a tracked metric; now it is tracked every round).
+    sync_tracker, _, sync_stamps, sync_t, _ = _run_slam(
+        scene, frames, async_mapping=False
+    )
+    sync_ate, sync_cov = _traj_ate(sync_tracker, sync_stamps, ts, len(frames))
+    sync_lost = int(sync_tracker.n_lost_events)
+
     # Timed pass: REFERENCE SEMANTICS — frames delivered at the 20 fps
     # camera rate; "real-time" means consuming the stream without
     # falling behind (BASELINE.md: examples sleep to dataset
@@ -190,17 +249,12 @@ def main():
     # when keeping up, lower when the tracker stalls the camera.
     tracker, lat, stamps, t_track, wall = _run_slam(scene, frames, paced=True)
     e2e_fps = len(frames) / t_track
-    ts_est, Twc = tracker.export_trajectory()
     # circle_trajectory returns CAMERA-TO-WORLD poses: `ts` are the
     # ground-truth camera centers directly. (The former
     # -(R^T t) "centers" collapsed this circle to a constant point,
     # which let the scale-optimal alignment report ATE ~0 for any
     # trajectory — the r02 number was degenerate, not good.)
-    coverage = len(ts_est) / len(frames)
-    try:
-        ate = ate_rmse(ts_est, Twc[:, :3, 3], stamps, ts)
-    except Exception:
-        ate = None
+    ate, coverage = _traj_ate(tracker, stamps, ts, len(frames))
     n_kfs = tracker.map.n_keyframes()
     n_loops = (
         tracker.loop_closer.n_loops_closed if tracker.loop_closer else 0
@@ -230,6 +284,25 @@ def main():
 
     med = float(np.median(lat))
     p99 = float(np.quantile(lat, 0.99))
+    # Latency-tail attribution: every frame over 150 ms with the cause
+    # tags the runtime recorded for it (VERDICT r4 item 4).
+    slow_frames = [
+        {
+            "frame": int(i),
+            "ms": round(float(lat[i]) * 1e3, 1),
+            "causes": tracker.frame_causes.get(int(i), []),
+        }
+        for i in np.nonzero(lat > 0.15)[0]
+    ][:40]
+    prev = _prev_round()
+    prev_fields = {}
+    if prev is not None:
+        prev_fields = {
+            "prev_round": prev["round"],
+            "prev_fps": prev.get("value"),
+            "prev_ate_scaled_m": prev.get("ate_scaled_m"),
+            "prev_kf_ate_scaled_m": prev.get("kf_ate_scaled_m"),
+        }
     print(
         json.dumps(
             {
@@ -262,8 +335,18 @@ def main():
                 ),
                 "n_loops_closed": int(n_loops),
                 "kf_ate_scaled_m": round(kf_ate, 4),
+                "ate_sync_m": (
+                    round(float(sync_ate.rmse_scaled), 4)
+                    if sync_ate else float("nan")
+                ),
+                "sync_coverage": round(float(sync_cov), 3),
+                "sync_n_lost_events": sync_lost,
+                "sync_fps": round(len(frames) / sync_t, 2),
+                "max_record_gap": _max_record_gap(tracker),
                 "n_frames": len(frames),
                 "stage_ms_mean": stages,
+                "slow_frames": slow_frames,
+                **prev_fields,
             }
         )
     )

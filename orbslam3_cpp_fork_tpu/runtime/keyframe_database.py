@@ -254,6 +254,38 @@ class KeyFrameDatabase:
         norms = np.maximum(np.linalg.norm(emb, axis=1), 1e-9)
         return (emb @ q) / norms
 
+    def adaptive_floor(
+        self, hist: np.ndarray, exclude=None, z: float = 2.0,
+        min_n: int = 8,
+    ) -> float | None:
+        """Scene-adaptive candidate-score floor: robust outlier bound
+        (median + z * 1.4826*MAD) of the query's scores against the
+        non-excluded database rows. A true revisit is, by construction,
+        an extreme outlier of the aliasing-score distribution, and the
+        bound tracks that distribution wherever it moves — measured on
+        the test ring, refresh_codebook shifts the true-revisit score
+        0.21 -> 0.13 while aliases move 0.01 -> 0.05; any absolute cut
+        that admits one rejects the other. This serves the same role as
+        the reference's relative minScore (derived from the query's
+        covisible neighbors, DetectLoopCandidates
+        src/KeyFrameDatabase.cc:92-115); the neighbor-minimum form
+        itself doesn't transfer to the centered idf-cosine signature,
+        whose scores for partially-overlapping neighbors sit inside
+        the alias band. Returns None below min_n scorable rows (caller
+        falls back to a fixed floor)."""
+        with self._lock:
+            if self.codebook is None or not self.present.any():
+                return None
+            rows = np.nonzero(self.present)[0]
+            scores = self._scores(hist, rows)
+        if exclude is not None and len(exclude):
+            scores = scores[~np.isin(rows, np.asarray(exclude, np.int64))]
+        if len(scores) < min_n:
+            return None
+        med = float(np.median(scores))
+        mad = float(np.median(np.abs(scores - med)))
+        return med + z * 1.4826 * max(mad, 1e-4)
+
     def query_groups(
         self,
         hist: np.ndarray,

@@ -194,14 +194,20 @@ class LoopConfig:
     fix_scale: bool = False  # stereo/RGB-D/inertial
     # Retrieval-score floor below which a candidate is not worth the
     # geometric validation (a ~50-100 ms Sim3 RANSAC + projection
-    # program per candidate). Genuine revisits score >= ~0.15 on the
-    # centered-idf-cosine signature; single-frame aliasing noise sits
-    # at 0.03-0.12 and used to burn the loop thread's whole budget on
-    # validations that always failed. The reference gates candidates
-    # with a minScore derived from the query's covisible neighbors
-    # (DetectLoopCandidates, src/KeyFrameDatabase.cc:92) — this is the
-    # fixed-floor analog for the dense-signature database.
+    # program per candidate). The PRIMARY floor is RELATIVE — a robust
+    # outlier bound on the query's own score distribution
+    # (KeyFrameDatabase.adaptive_floor, the analog of the reference's
+    # covisible-derived minScore, src/KeyFrameDatabase.cc:92-115) — so
+    # the gate tracks the idf-cosine distribution across scenes,
+    # codebook refreshes and noise tiers. min_candidate_score is only
+    # the FALLBACK when too few rows exist to estimate a distribution
+    # (e.g. right after a map spawn).
     min_candidate_score: float = 0.12
+    loop_floor_z: float = 2.0
+    # Absolute lower clamp on the derived floor (scores below this are
+    # indistinguishable from the signature noise floor regardless of
+    # scene).
+    min_floor: float = 0.03
 
 
 MAX_MAPS = 16  # gid namespace width shared with the Tracker
@@ -574,12 +580,22 @@ class LoopCloser:
         gids, scores = self.kfdb.query_groups(
             hist, covis_gids, np.asarray(exclude), n_best=3
         )
+        # Relative validation floor (see LoopConfig.loop_floor_z): the
+        # query's score distribution over the old-map rows bounds what
+        # aliasing noise scores like in the CURRENT vocabulary.
+        floor = self.cfg.min_candidate_score
+        adaptive = self.kfdb.adaptive_floor(
+            hist, exclude=np.asarray(exclude), z=self.cfg.loop_floor_z
+        )
+        if adaptive is not None:
+            floor = max(self.cfg.min_floor, adaptive)
         if len(gids):
-            log.debug("KF %d: %d loop candidates %s", k, len(gids),
+            log.debug("KF %d: %d loop candidates %s (floor %.3f)", k,
+                      len(gids),
                       [(int(g) % max_k, round(float(s_), 3))
-                       for g, s_ in zip(gids, scores)])
+                       for g, s_ in zip(gids, scores)], floor)
         for g, sc in zip(gids, scores):
-            if float(sc) < self.cfg.min_candidate_score:
+            if float(sc) < floor:
                 continue  # aliasing noise: not worth a validation
             ns, c = int(g) // max_k, int(g) % max_k
             if ns not in maps_by_ns:

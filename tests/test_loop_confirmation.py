@@ -38,6 +38,9 @@ class _FakeKFDB:
     def add(self, gid, bits, valid, hist=None):
         pass
 
+    def adaptive_floor(self, hist, exclude=None, z=2.0, min_n=8):
+        return None  # too few rows: detection falls back to the fixed floor
+
 
 class _ScriptedCloser(LoopCloser):
     """LoopCloser whose geometric validation follows a script: element i

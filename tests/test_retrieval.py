@@ -125,3 +125,60 @@ def test_pending_flush_before_vocab():
         db.add(k, d, v)
     assert db.codebook is not None
     assert db.present[0]  # flushed retroactively
+
+
+def test_relative_floor_tracks_distribution():
+    """VERDICT r4 item 7: the loop-validation floor must be RELATIVE.
+    Measured here: refresh_codebook shifts the whole idf-cosine
+    distribution (true-revisit score 0.21 -> 0.13, aliases 0.01 ->
+    0.05 on this ring), so the old fixed 0.12 floor would reject every
+    true candidate post-refresh while a lower fixed floor would admit
+    the aliases pre-refresh. The adaptive floor (robust outlier bound
+    of the query's score distribution, the analog of the reference's
+    covisible-derived minScore, src/KeyFrameDatabase.cc:92-115) must
+    separate the true first-lap candidate from distant aliases under
+    the seed codebook, after refresh, and on the noisy render tier."""
+    p = OrbParams(n_features=500)
+    scene = synthetic.make_ring_scene(seed=21)
+    # Two identical laps: rows 0..11 = first lap (every 30 deg), rows
+    # 12..23 = second lap at the same angles (the revisit pass).
+    Rs, ts = synthetic.circle_trajectory(n_frames=72, total_angle=4 * np.pi)
+
+    def run_tier(degraded):
+        def feats(i, seed=0):
+            img = synthetic.render_frame(scene, Rs[i], ts[i])
+            if degraded:
+                img = synthetic.degrade(
+                    img, noise_sigma=4.0, blur_sigma=0.4, seed=seed
+                )
+            f = extract_orb_jit(jnp.asarray(img), p)
+            return np.asarray(f.desc_i8), np.asarray(f.valid)
+
+        db = KeyFrameDatabase(max_keyframes=64)
+        for k, i in enumerate(range(0, 72, 3)):
+            db.add(k, *feats(i, seed=k))
+
+        def check():
+            d, v = feats(40, seed=99)  # 40 deg, lap 2
+            hist = db.histogram(d, v)
+            # Detection excludes the temporally recent pass (12..23).
+            excl = np.arange(12, 24)
+            floor = db.adaptive_floor(hist, exclude=excl)
+            assert floor is not None
+            floor = max(0.03, floor)
+            ids, scores = db.query(
+                hist, exclude=excl, n_best=24, min_score=-1.0
+            )
+            s = dict(zip(ids.tolist(), scores.tolist()))
+            s_true = s.get(1)  # first-lap 30 deg: the loop candidate
+            assert s_true is not None and s_true >= floor, (s_true, floor)
+            distant = [v2 for k2, v2 in s.items() if 3 <= k2 <= 9]
+            assert max(distant) < floor, (max(distant), floor)
+
+        check()  # seed codebook
+        db.refresh_codebook()
+        assert db.n_refreshes == 1
+        check()  # wholesale distribution shift
+
+    run_tier(degraded=False)
+    run_tier(degraded=True)  # noisy render tier
