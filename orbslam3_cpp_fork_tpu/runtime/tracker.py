@@ -914,17 +914,20 @@ class Tracker:
             if self._map_dev is not None
             else jnp.asarray
         )
-        # The WINDOW-BA solve always runs on the accelerator, even when
-        # the other mapping solvers are pinned to the host CPU backend:
-        # measured on a 2-core host behind a tunneled chip, the CPU
-        # solve costs ~35 ms in isolation but 160 ms in the shipping
-        # pipeline — the track thread, mapping worker, loop thread and
-        # KFDB matvecs all fight for the same two cores, while the chip
-        # idles at ~0.4 duty. On the accelerator the solve is ~30 ms of
-        # device compute dispatched in 2-iteration slices (bounding the
-        # tracking stream's queue wait) and the only host cost is the
-        # one RTT fetch at apply time — off the contended resource.
-        self._ba_put = jnp.asarray
+        # The WINDOW-BA solve follows the mapping placement (`_mput`,
+        # host CPU backend behind a tunneled chip). An r05 experiment
+        # moved it to the accelerator to relieve the 2-core host — and
+        # the sync-control ATE regressed 0.047 -> 0.168 with NOTHING
+        # else changed: the TPU solve reaches the same (slightly lower)
+        # cost per window, but its pose results differ at the
+        # millimeter scale per solve (bf16-pass matmul accumulation vs
+        # true-f32 CPU), and over ~75 sequential window solves those
+        # differences compound through the mono-scale gauge into a 3x
+        # trajectory error. Sequentially-composed mono BA needs the
+        # CPU's f32 exactly; the host relief comes from placing the
+        # LOOP-validation programs on the accelerator instead (see
+        # LoopCloser placement below).
+        self._ba_put = self._mput
         try:
             self._cpu_dev = jax.devices("cpu")[0]
         except RuntimeError:
@@ -959,7 +962,17 @@ class Tracker:
         if self.loop_closer is not None:
             self.loop_closer.global_ba_hook = self._global_ba_after_loop
             self.loop_closer.lock = self.map_lock
-            self.loop_closer._put = self._mput
+            # Loop-validation programs (Sim3 RANSAC + guided projection,
+            # one-shot per candidate) run on the ACCELERATOR: they are
+            # the mapping pipeline's largest host-CPU consumer (~80 ms
+            # per keyframe through the revisit half of a loopy
+            # trajectory, on a 2-core host), their one-RTT result fetch
+            # lands on the latency-tolerant loop thread, and — unlike
+            # the sequentially-composed window BA above — a one-shot
+            # Sim3 validation does not accumulate cross-solve numeric
+            # drift. The retrieval matvec stays on the host (3 ms there
+            # vs an RTT-dominated fetch per keyframe on the chip).
+            self.loop_closer._put = jnp.asarray
         self._seen_change_idx = 0
         self._pending_merge: tuple | None = None
         self._dev_local: dict | None = None  # device local-map snapshot
@@ -1017,9 +1030,11 @@ class Tracker:
         # merge, IMU gravity/scale alignment — all bump big_change_idx).
         self._kf_med_depth = np.zeros(cfg.map_cfg.max_keyframes, np.float32)
         self._kf_med_depth_ver = (-1, -1)  # (map_id, big_change_idx)
-        if self.loop_closer is not None and self._map_dev is None:
-            # Share the device keyframe store with loop detection (only
-            # when loop solvers run on the same (default) device).
+        if self.loop_closer is not None:
+            # Share the device keyframe store with loop detection (the
+            # loop-validation programs run on the same default device,
+            # so the 2x256 KB descriptor-bit uploads per validation
+            # come from the resident store instead of the host).
             self.loop_closer.kf_store = self._kf_store
 
     @property
