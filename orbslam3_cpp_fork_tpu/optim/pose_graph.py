@@ -141,6 +141,66 @@ def optimize_pose_graph(
     return PoseGraphResult(s=s, R=R, t=t, cost=costs[-1])
 
 
+PG_KF_BUCKET = 64
+PG_EDGE_BUCKET = 1024
+
+
+def optimize_pose_graph_padded(
+    s0, R0, t0, fixed, ei, ej, es, eR, et, ew, free_dims,
+    iters: int = 12, put=jnp.asarray,
+):
+    """Bucket-padded host wrapper around optimize_pose_graph.
+
+    The jitted solver specializes on (K, E); a loop closure's exact
+    vertex/edge counts are data (they differ between any two runs), so
+    calling it raw compiles a fresh multi-second XLA program at LOOP
+    TIME — on the loop thread, whose jit tracing holds the GIL and
+    freezes the paced track thread (measured: 5-18 s bench stalls at
+    the loop-closure frame, one optimize_pose_graph compile per pass).
+    Padding K to multiples of 64 and E to multiples of 1024 collapses
+    every realistic problem onto a handful of shapes that
+    Tracker.warm_mapping_programs pre-compiles before pacing starts.
+    Pad vertices are invalid (the solver freezes their tangent rows);
+    pad edges carry weight 0 on vertex 0. Returns numpy
+    (s, R, t, cost) sliced back to the real K.
+    """
+    K = len(s0)
+    E = len(ei)
+    Kp = -(-max(K, 1) // PG_KF_BUCKET) * PG_KF_BUCKET
+    Ep = -(-max(E, 1) // PG_EDGE_BUCKET) * PG_EDGE_BUCKET
+    sp = np.ones(Kp, np.float32)
+    sp[:K] = s0
+    Rp = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
+    Rp[:K] = R0
+    tp = np.zeros((Kp, 3), np.float32)
+    tp[:K] = t0
+    validp = np.zeros(Kp, bool)
+    validp[:K] = True
+    fixedp = np.zeros(Kp, bool)
+    fixedp[:K] = fixed
+    eip = np.zeros(Ep, np.int32)
+    eip[:E] = ei
+    ejp = np.zeros(Ep, np.int32)
+    ejp[:E] = ej
+    esp = np.ones(Ep, np.float32)
+    esp[:E] = es
+    eRp = np.tile(np.eye(3, dtype=np.float32), (Ep, 1, 1))
+    eRp[:E] = eR
+    etp = np.zeros((Ep, 3), np.float32)
+    etp[:E] = et
+    ewp = np.zeros(Ep, np.float32)
+    ewp[:E] = ew
+    res = optimize_pose_graph(
+        put(sp), put(Rp), put(tp), put(validp), put(fixedp),
+        put(eip), put(ejp), put(esp), put(eRp), put(etp), put(ewp),
+        put(np.asarray(free_dims, np.float32)), iters=iters,
+    )
+    return (
+        np.asarray(res.s)[:K], np.asarray(res.R)[:K],
+        np.asarray(res.t)[:K], float(res.cost),
+    )
+
+
 def relative_sim3(s, R, t, i, j):
     """Host helper: measured S_ji = S_j o S_i^-1 from absolute poses."""
     si, Ri, ti = lie.sim3_inv(

@@ -292,18 +292,13 @@ def optimize_essential_graph_merge(
     for f in free_ids:
         if f in slot:
             fixed[slot[f]] = False
-    res = pose_graph.optimize_pose_graph(
-        jnp.asarray(s0), jnp.asarray(R0), jnp.asarray(t0),
-        jnp.ones(K, bool), jnp.asarray(fixed),
-        jnp.asarray(np.asarray(ei, np.int32)), jnp.asarray(np.asarray(ej, np.int32)),
-        jnp.asarray(np.asarray(es, np.float32)), jnp.asarray(np.stack(eR)),
-        jnp.asarray(np.stack(et)), jnp.asarray(np.asarray(ew, np.float32)),
-        jnp.asarray(pose_graph.FREE_DIMS[mode]),
+    s_n, R_n, t_n, cost = pose_graph.optimize_pose_graph_padded(
+        s0, R0, t0, fixed,
+        np.asarray(ei, np.int32), np.asarray(ej, np.int32),
+        np.asarray(es, np.float32), np.stack(eR), np.stack(et),
+        np.asarray(ew, np.float32), pose_graph.FREE_DIMS[mode],
         iters=iters,
     )
-    s_n = np.asarray(res.s)
-    R_n = np.asarray(res.R)
-    t_n = np.asarray(res.t)
 
     # Re-anchor landmarks owned by free keyframes: X' = S_new^-1(S_snap(X)).
     lm_ids = np.nonzero(m.lm_valid)[0]
@@ -330,7 +325,7 @@ def optimize_essential_graph_merge(
             m.kf_t[f] = t_n[sl] / s_n[sl]
     log.info(
         "merge essential graph: %d free / %d KFs, %d edges, cost %.3f",
-        len(free_ids), K, len(ei), float(res.cost),
+        len(free_ids), K, len(ei), cost,
     )
 
 
@@ -1005,17 +1000,13 @@ class LoopCloser:
             mode = "4dof"
         else:
             mode = "se3" if self.cfg.fix_scale else "sim3"
-        res = pose_graph.optimize_pose_graph(
-            self._put(s0), self._put(R0), self._put(t0),
-            jnp.ones(K, bool), self._put(fixed),
-            self._put(np.asarray(ei, np.int32)), self._put(np.asarray(ej, np.int32)),
-            self._put(np.asarray(es, np.float32)), self._put(np.stack(eR)),
-            self._put(np.stack(et)), self._put(np.asarray(ew, np.float32)),
-            self._put(pose_graph.FREE_DIMS[mode]),
+        s_n, R_n, t_n, _cost = pose_graph.optimize_pose_graph_padded(
+            s0, R0, t0, fixed,
+            np.asarray(ei, np.int32), np.asarray(ej, np.int32),
+            np.asarray(es, np.float32), np.stack(eR), np.stack(et),
+            np.asarray(ew, np.float32), pose_graph.FREE_DIMS[mode],
+            put=self._put,
         )
-        s_n = np.asarray(res.s)
-        R_n = np.asarray(res.R)
-        t_n = np.asarray(res.t)
 
         # Re-anchor every landmark via the pose it is currently
         # consistent with: window-corrected landmarks use their recorded

@@ -1351,7 +1351,7 @@ class Tracker:
             f"map_correction_rebase:drop{len(self._pipe)}"
         )
         self.n_frames_dropped += len(self._pipe)
-        for f_drop, _, _ in self._pipe:
+        for f_drop, *_ in self._pipe:
             f_drop.img_u8 = None
         self._pipe.clear()
         self._chain = None
@@ -2165,9 +2165,25 @@ class Tracker:
             )
 
         self._snap_seq += 1
+        # Anchor for retirement-time rebase: a snapshot-window keyframe
+        # whose pose IS the snapshot's world frame. When the background
+        # window BA (or a bigger correction) moves the map between a
+        # pipelined frame's dispatch and its retirement, the retired
+        # pose is consistent with the SNAPSHOT's world — composing the
+        # anchor's pose delta re-expresses it in the current map before
+        # it reaches trajectory records and keyframe insertion
+        # (_retire_oldest). Prefer the last inserted keyframe: it is in
+        # every window-BA window, so it rides every correction.
+        a = int(self.ref_kf) if (
+            self.ref_kf >= 0 and m.kf_valid[self.ref_kf]
+        ) else int(local_kfs[0]) if len(local_kfs) else -1
+        anchor = (
+            (a, m.kf_R[a].copy(), m.kf_t[a].copy()) if a >= 0 else None
+        )
         self._dev_local = {
             "ver": ver,
             "ids": lm_ids,
+            "anchor": anchor,
             "pos": jnp.asarray(padf(m.lm_pos[lm_ids])),
             "normal": jnp.asarray(padf(m.lm_normal[lm_ids])),
             "mind": jnp.asarray(padf(m.lm_min_dist[lm_ids])),
@@ -2223,6 +2239,20 @@ class Tracker:
         sel = np.nonzero(np.asarray(mok_m) & np.asarray(inl))[0]
         sel = sel[sel < n]
         with self.map_lock:
+            # Same snapshot-world -> current-map rebase as the pipelined
+            # retirement (see _retire_oldest): the async worker can move
+            # the map between this snapshot's build and this frame.
+            anchor = c.get("anchor")
+            if anchor is not None:
+                a, R_a0, t_a0 = anchor
+                if m.kf_valid[a] and not (
+                    np.array_equal(m.kf_R[a], R_a0)
+                    and np.array_equal(m.kf_t[a], t_a0)
+                ):
+                    R_d = R_a0.T @ m.kf_R[a]
+                    t_d = R_a0.T @ (m.kf_t[a] - t_a0)
+                    frame.t = frame.R @ t_d + frame.t
+                    frame.R = frame.R @ R_d
             # Forward snapshot-stale (fused-away) ids to survivors;
             # drop only truly-dead landmarks (see _retire_oldest).
             ids_r = m.resolve_replaced(lm_ids)
@@ -2356,7 +2386,7 @@ class Tracker:
             pred=(out["R_pred_next"], out["t_pred_next"]),
             bound=out["bound"], ids=ids, snap_seq=self._snap_seq,
         )
-        self._pipe.append((frame, out, ids))
+        self._pipe.append((frame, out, ids, c.get("anchor")))
         self.n_pipelined_frames += 1
         frame.img_u8 = None  # upload done; free host memory
         # Adaptive depth: full lag while tracking is comfortable; a
@@ -2380,7 +2410,7 @@ class Tracker:
         landmark stats, state machine, keyframe policy, trajectory. By
         retirement time the async host copies have landed, so the
         np.asarray calls below do not round-trip."""
-        frame, out, ids = self._pipe.popleft()
+        frame, out, ids, anchor = self._pipe.popleft()
         r = {k: np.asarray(out[k]) for k in self._PIPE_FETCH}
         n = len(ids)
         n_in = int(r["n_inliers"])
@@ -2409,7 +2439,7 @@ class Tracker:
             # the frame-synchronous path does before declaring a loss.
             dropped = len(self._pipe)
             self.n_frames_dropped += dropped
-            for f_drop, _, _ in self._pipe:
+            for f_drop, *_ in self._pipe:
                 f_drop.img_u8 = None
             self._pipe.clear()
             self._chain = None
@@ -2438,6 +2468,26 @@ class Tracker:
         idx = r["idx"][:n]
         m = self.map
         with self.map_lock:
+            # Rebase the retired pose onto the CURRENT map: the program
+            # solved it against the snapshot's landmark positions, i.e.
+            # in the snapshot's world frame. If the background window BA
+            # moved the map since dispatch, compose the snapshot
+            # anchor's pose delta (T_f' = T_f o T_a0^-1 o T_a1) so the
+            # pose entering trajectory records and keyframe insertion is
+            # consistent with the map it will be optimized against.
+            # Measured (r05 ablation ladder): retiring snapshot-frame
+            # poses un-rebased is a large share of the pipelined modes'
+            # 3-6x ATE gap vs frame-synchronous tracking.
+            if anchor is not None:
+                a, R_a0, t_a0 = anchor
+                if m.kf_valid[a] and not (
+                    np.array_equal(m.kf_R[a], R_a0)
+                    and np.array_equal(m.kf_t[a], t_a0)
+                ):
+                    R_d = R_a0.T @ m.kf_R[a]
+                    t_d = R_a0.T @ (m.kf_t[a] - t_a0)
+                    frame.t = frame.R @ t_d + frame.t
+                    frame.R = frame.R @ R_d
             # The snapshot is bounded-stale: landmarks fused since it
             # was built are matched under their OLD id — forward them
             # to their survivors (dropping them instead starves the
@@ -4212,6 +4262,28 @@ class Tracker:
                 )
                 res = local_ba(prob, iters=2, gate_at=3)
                 jax.device_get(res.cost)
+
+        # Essential-graph (pose-graph) shape buckets: a loop closure's
+        # exact vertex/edge counts are data, so the solver is called
+        # through the bucket-padded wrapper — pre-compile the buckets a
+        # few-hundred-KF session can reach. An unwarmed bucket compiling
+        # at loop time froze the paced bench 5-18 s (the jit trace holds
+        # the GIL on the loop thread).
+        from ..optim import pose_graph as _pg
+
+        put = self.loop_closer._put if self.loop_closer is not None else jnp.asarray
+        for K_b in (1, _pg.PG_KF_BUCKET + 1, 2 * _pg.PG_KF_BUCKET + 1):
+            _pg.optimize_pose_graph_padded(
+                np.ones(K_b, np.float32),
+                np.tile(np.eye(3, dtype=np.float32), (K_b, 1, 1)),
+                np.zeros((K_b, 3), np.float32),
+                np.zeros(K_b, bool),
+                np.zeros(2, np.int32), np.ones(2, np.int32),
+                np.ones(2, np.float32),
+                np.tile(np.eye(3, dtype=np.float32), (2, 1, 1)),
+                np.zeros((2, 3), np.float32), np.ones(2, np.float32),
+                _pg.FREE_DIMS["sim3"], put=put,
+            )
 
     def _local_ba(self, window: list[int], fix: list[int] | None = None,
                   iters: int = 10):
