@@ -37,8 +37,12 @@ cam = Camera.pinhole(scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2])
 
 
 def run(mode, timed=True):
+    import os
+
     cfg = TrackerConfig(camera=cam, width=W, height=H, orb=OrbParams(n_features=1000),
                         enable_loop_closing=True, async_mapping=True)
+    if "ABL_WAIT_MS" in os.environ:  # map_wait_budget_ms sweep knob
+        cfg.map_wait_budget_ms = float(os.environ["ABL_WAIT_MS"])
     if mode in ("nopipe", "nopipe_drain"):
         cfg.pipeline_lag = 0
     if mode in ("lag1", "lag1_drain"):
@@ -83,6 +87,10 @@ def run(mode, timed=True):
 
 if warm:
     print("warm pass...", flush=True)
+    wcfg = TrackerConfig(camera=cam, width=W, height=H,
+                         orb=OrbParams(n_features=1000), async_mapping=False)
+    _w = Tracker(wcfg)
+    _w.warm_mapping_programs()  # BA buckets + pose-graph buckets
     run(modes[0], timed=False)
 for mode in modes:
     run(mode)

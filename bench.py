@@ -188,7 +188,10 @@ def _prev_round(path="."):
         return None
     try:
         with open(best[1]) as fh:
-            return {"round": best[0], **json.load(fh)}
+            d = json.load(fh)
+        # The driver wraps the bench's JSON line under "parsed".
+        d = d.get("parsed", d)
+        return {"round": best[0], **d}
     except Exception:
         return None
 

@@ -101,8 +101,24 @@ class MappingWorker:
         self.q: queue.Queue = queue.Queue()
         self.idle = threading.Event()
         self.idle.set()
+        # Set by Tracker._mapping_step once the MAP FRONTIER of the
+        # step being processed is fresh (triangulations + fusion +
+        # landmark culling landed); the window-BA polish and loop
+        # handoff may still be in flight. wait_idle() returns at this
+        # point: tracking wants the frontier (its matches live there),
+        # while the BA pose polish can land concurrently a few frames
+        # late without starving it (the reference's InterruptBA makes
+        # the same call — BA is the deferrable stage,
+        # src/LocalMapping.cc:136-241).
+        self.frontier = threading.Event()
+        self.frontier.set()
         self.error: BaseException | None = None
         self.n_processed = 0
+        # Bumped by the tracker at each step's frontier point — the
+        # local-map snapshot version key includes it so tracking
+        # rebuilds its device snapshot as soon as fresh frontier
+        # geometry exists, not only at step completion.
+        self.n_frontier = 0
         self._thread = threading.Thread(
             target=self._run, name="mapping", daemon=True
         )
@@ -120,6 +136,7 @@ class MappingWorker:
 
     def submit(self, k: int, payload: dict):
         self.idle.clear()
+        self.frontier.clear()
         self.q.put((k, payload))
 
     def flush(self):
@@ -130,6 +147,32 @@ class MappingWorker:
         if self.error is not None:
             err, self.error = self.error, None
             raise err
+
+    def wait_idle(self, timeout: float) -> bool:
+        """Bounded-staleness wait: block up to `timeout` seconds for the
+        in-flight mapping work's MAP FRONTIER to land (see `frontier`;
+        full idle also qualifies), returning whether it did. The track
+        thread calls this each frame (see
+        TrackerConfig.map_wait_budget_ms) — unlike flush() it never
+        stalls unboundedly behind a long step, and unlike racing ahead
+        it keeps the map frontier the tracker reads from at most one
+        bounded step stale."""
+        import time
+
+        def ready() -> bool:
+            if self.q.empty():
+                return self.idle.is_set() or self.frontier.is_set()
+            return False
+
+        deadline = time.monotonic() + timeout
+        while not ready():
+            if time.monotonic() >= deadline:
+                return False
+            self.frontier.wait(min(0.002, max(deadline - time.monotonic(), 0)))
+        if self.error is not None:
+            err, self.error = self.error, None
+            raise err
+        return True
 
     def stop(self):
         self.flush()

@@ -245,6 +245,19 @@ class TrackerConfig:
     # at young-map sizes anyway (src/LocalMapping.cc:92-324 at 20 fps
     # on CPU) — this pins that behavior instead of hoping for it.
     young_map_kfs: int = 12
+    # Bounded-staleness budget: before tracking each frame, wait up to
+    # this many ms for the mapping worker's in-flight step to land.
+    # The r05 ablation ladder is decisive about why: on the 300-frame
+    # paced bench ring, fully racing the worker (no wait) costs ATE
+    # 1.08 m while draining it before every frame costs 0.07 m — the
+    # entire async-vs-sync accuracy gap is map staleness, not the
+    # pipelined tracking chain. An unbounded drain pays the worst-case
+    # step latency on the camera's critical path (9.6 fps); the budget
+    # converts that into a bounded wait that catches the common step
+    # tail. 0 disables (race freely). The reference gets this for free:
+    # its LocalMapping empties the queue within a camera period on an
+    # idle core (src/LocalMapping.cc:92-324).
+    map_wait_budget_ms: float = 250.0
     # Re-center the device local-map snapshot at least this often (in
     # frames) even with no mapping event — the tracked camera walks out
     # of a stale window (see Tracker._local_map_version).
@@ -296,6 +309,14 @@ class TrackerConfig:
     # Tracker._reanchor_trajectory_records).
     max_record_gap: int = 15
     local_window_kfs: int = 10
+    # LM iterations of the per-keyframe window BA (the reference's
+    # LocalBundleAdjustment runs 5 + 10-more-if-uninterrupted,
+    # src/Optimizer.cc:1350-1364; the window re-optimizes at every KF
+    # here so the marginal value of a long tail is small and each
+    # iteration costs ~13 ms of 2-core host CPU the mapping worker
+    # cannot spend — its serial per-KF cost sets how far the map
+    # frontier trails the camera).
+    ba_iters_per_kf: int = 6
     # Static capacities for jitted programs.
     local_lm_cap: int = 4096
     ba_kf_cap: int = 16
@@ -512,6 +533,56 @@ def _unpack_desc(desc_packed: jax.Array) -> jax.Array:
 # than ~300 accepted candidates per pair (FUSE matches ~300 per target).
 TRI_CAP = 384
 FUSE_CAP = 512
+
+
+@jax.jit
+def fused_triangulate_store(
+    s_desc, s_xy, s_level, s_angle, s_depth, s_ur,  # device KF store
+    k1, tri_idx,  # () int32 new-KF row, (T,) int32 neighbor rows
+    R1, t1, R2s, t2s,
+    free1, free2s,  # (N,), (T,N) host-computed unbound masks
+    pair_ok, K, bf,
+):
+    """fused_triangulate_batch with the keyframe-row gathers INSIDE the
+    program: the caller passes the whole device keyframe store plus row
+    indices instead of pre-gathered rows. Each host-side `store[idx]`
+    getitem is its own ~1-2 ms dispatched gather program (~14 per
+    insertion was a third of the map_triangulate_dispatch stage); fused
+    into the compiled program they cost nothing."""
+    return fused_triangulate_batch(
+        R1, t1, s_desc[k1], s_xy[k1], free1, s_angle[k1], s_level[k1],
+        s_depth[k1], s_ur[k1],
+        R2s, t2s, s_desc[tri_idx], s_xy[tri_idx], free2s,
+        s_angle[tri_idx], s_level[tri_idx], s_depth[tri_idx],
+        s_ur[tri_idx],
+        pair_ok, K, bf,
+    )
+
+
+@jax.jit
+def fused_fuse_store(
+    lm_geom,  # (L,8) f32: pos xyz, normal xyz, min_dist, max_dist
+    lm_desc, lm_valid,
+    cur_mask, fuse_mask, is_last,  # (L,), (L,), (T,) target-row masks
+    s_desc, s_xy, s_level, s_valid,  # device KF store
+    fuse_idx,  # (T,) int32 target keyframe rows
+    kf_R, kf_t,
+    fx, fy, cx, cy, width, height,
+):
+    """fused_fuse_batch with keyframe-row gathers inside the program and
+    the landmark geometry packed into one upload (see
+    fused_triangulate_store for the rationale). Target rows project the
+    new KF's landmarks (`cur_mask`); the final row (`is_last`) projects
+    the neighborhood's landmarks back into the new KF (`fuse_mask`)."""
+    tgt_mask = jnp.where(is_last[:, None], fuse_mask[None, :], cur_mask[None, :])
+    return fused_fuse_batch(
+        lm_geom[:, 0:3], lm_geom[:, 3:6], lm_geom[:, 6], lm_geom[:, 7],
+        lm_desc, lm_valid, tgt_mask,
+        kf_R, kf_t,
+        s_desc[fuse_idx], s_xy[fuse_idx], s_level[fuse_idx],
+        s_valid[fuse_idx],
+        fx, fy, cx, cy, width, height,
+    )
 
 
 @jax.jit
@@ -1277,6 +1348,22 @@ class Tracker:
         return self._process(frame)
 
     def _process(self, frame: FrameData) -> np.ndarray | None:
+        # Bounded-staleness wait (see TrackerConfig.map_wait_budget_ms):
+        # give the in-flight mapping step a bounded chance to land
+        # before this frame tracks — the frame's ORB extraction is
+        # already dispatched and overlaps the wait.
+        if (
+            self.worker is not None
+            and self.cfg.map_wait_budget_ms > 0
+            and self.worker.busy()
+        ):
+            t_w = time.perf_counter()
+            done = self.worker.wait_idle(self.cfg.map_wait_budget_ms / 1e3)
+            waited = (time.perf_counter() - t_w) * 1e3
+            if waited > 2.0:
+                self.frame_causes[frame.frame_id].append(
+                    f"map_wait:{waited:.0f}ms" + ("" if done else "+")
+                )
         # Pipeline hand-backs: a merge proposal parked by the mapping
         # stage executes here on the track thread (it rewrites live
         # tracking state), and background corrections (loop closure,
@@ -2077,9 +2164,10 @@ class Tracker:
         event — stage-2 coverage (and the inlier count with it) decays
         unless the window re-centers every few frames."""
         m = self.map
+        w = self.worker
         return (
             m.map_id, self.n_kf_inserted, m.big_change_idx,
-            self.worker.n_processed if self.worker is not None else 0,
+            (w.n_processed, w.n_frontier) if w is not None else 0,
             self.frame_id // self.cfg.snapshot_max_age_frames,
         )
 
@@ -3129,6 +3217,15 @@ class Tracker:
         with self.map_lock:
             with self.timers.span("map_cull_lm"):
                 self._cull_landmarks(k)
+        # The map FRONTIER of this step is now fresh (triangulations,
+        # fusion forwarding and the landmark cull all landed): release
+        # the track thread's bounded-staleness wait so it tracks
+        # against it while the window-BA polish below solves
+        # concurrently (see MappingWorker.frontier).
+        if self.worker is not None:
+            self.worker.n_frontier += 1
+            if self.worker.q.empty():
+                self.worker.frontier.set()
         interrupted = interrupted or (
             self.worker is not None and not self.worker.q.empty()
         )
@@ -3144,15 +3241,14 @@ class Tracker:
         else:
             window = [k] + [int(x) for x in neigh[: self.cfg.ba_kf_cap - 1]]
             with self.timers.span("map_local_ba_dispatch"):
-                # 6 LM iterations: the reference's per-KF window BA is a
-                # 5-iteration pass plus 10 more only when uninterrupted
-                # (src/Optimizer.cc:1350-1364); the window re-optimizes
-                # at every KF so the marginal value of a long tail is
-                # small. The solve runs while keyframe culling executes
-                # on the host; the write-back lands before loop
-                # detection (whose Sim3 validation wants the polished
-                # poses).
-                ba_ctx = self._local_ba_dispatch(window, iters=6)
+                # See TrackerConfig.ba_iters_per_kf for the iteration
+                # budget rationale. The solve runs while keyframe
+                # culling executes on the host; the write-back lands
+                # before loop detection (whose Sim3 validation wants
+                # the polished poses).
+                ba_ctx = self._local_ba_dispatch(
+                    window, iters=self.cfg.ba_iters_per_kf
+                )
             self._last_ba_at = self.n_kf_inserted
 
         # Redundant-keyframe culling (LocalMapping::KeyFrameCulling) —
@@ -3862,16 +3958,12 @@ class Tracker:
         with self.map_lock:
             s = self._kf_store
             s.sync(m, [k1, *arr])
-        a = jnp.asarray(arr)
-        out = fused_triangulate_batch(
+        out = fused_triangulate_store(
+            s.desc, s.xy, s.level, s.angle, s.depth, s.ur,
+            jnp.int32(k1), jnp.asarray(arr, jnp.int32),
             jnp.asarray(m.kf_R[k1]), jnp.asarray(m.kf_t[k1]),
-            s.desc[k1], s.xy[k1],
-            jnp.asarray(free1), s.angle[k1],
-            s.level[k1], s.depth[k1], s.ur[k1],
             jnp.asarray(m.kf_R[arr]), jnp.asarray(m.kf_t[arr]),
-            s.desc[a], s.xy[a],
-            jnp.asarray(free2), s.angle[a],
-            s.level[a], s.depth[a], s.ur[a],
+            jnp.asarray(free1), jnp.asarray(free2),
             jnp.asarray(pair_ok), jnp.asarray(self.K),
             jnp.float32((self.cfg.bf)),
         )
@@ -4043,33 +4135,33 @@ class Tracker:
         arr = np.asarray(rows + [rows[0]] * (T_CAP - nT))
         s = self._kf_store
         s.sync(m, arr)  # called under the map lock
-        a = jnp.asarray(arr)
         cur_mask = np.zeros(cap, bool)
         cur_mask[:n_ids] = np.isin(ids, cur_lms)
         fuse_mask = np.zeros(cap, bool)
         fuse_mask[:n_ids] = np.isin(ids, fuse_lms)
-        tgt_mask = np.zeros((T_CAP, cap), bool)
-        tgt_mask[: nT - 1] = cur_mask
-        tgt_mask[nT - 1] = fuse_mask
-        pad = cap - n_ids
+        is_last = np.zeros(T_CAP, bool)
+        is_last[nT - 1] = True
+        # Landmark geometry packed into ONE (L,8) upload (pos, normal,
+        # min/max dist) — four separate device_puts cost ~1 ms each of
+        # host dispatch.
+        geom = np.zeros((cap, 8), np.float32)
+        geom[:n_ids, 0:3] = m.lm_pos[ids]
+        geom[:n_ids, 3:6] = m.lm_normal[ids]
+        geom[:n_ids, 6] = m.lm_min_dist[ids]
+        geom[:n_ids, 7] = m.lm_max_dist[ids]
+        geom[n_ids:, 7] = 1.0
+        lm_desc = np.zeros((cap, 8), np.uint32)
+        lm_desc[:n_ids] = m.lm_desc[ids]
+        lm_val = np.zeros(cap, bool)
+        lm_val[:n_ids] = m.lm_valid[ids]
 
-        def padf(x, fill=0):
-            return np.concatenate(
-                [x, np.full((pad, *x.shape[1:]), fill, x.dtype)]
-            )
-
-        out = fused_fuse_batch(
-            jnp.asarray(padf(m.lm_pos[ids])),
-            jnp.asarray(padf(m.lm_normal[ids])),
-            jnp.asarray(padf(m.lm_min_dist[ids])),
-            jnp.asarray(padf(m.lm_max_dist[ids], 1.0)),
-            jnp.asarray(padf(m.lm_desc[ids])),
-            jnp.asarray(padf(m.lm_valid[ids], False)),
-            jnp.asarray(tgt_mask),
+        out = fused_fuse_store(
+            jnp.asarray(geom), jnp.asarray(lm_desc), jnp.asarray(lm_val),
+            jnp.asarray(cur_mask), jnp.asarray(fuse_mask),
+            jnp.asarray(is_last),
+            s.desc, s.xy, s.level, s.valid,
+            jnp.asarray(arr, jnp.int32),
             jnp.asarray(m.kf_R[arr]), jnp.asarray(m.kf_t[arr]),
-            s.desc[a], s.xy[a],
-            s.level[a],
-            s.valid[a],
             self.fx, self.fy, self.cx, self.cy,
             float(self.cfg.width), float(self.cfg.height),
         )
@@ -4262,6 +4354,14 @@ class Tracker:
                 )
                 res = local_ba(prob, iters=2, gate_at=3)
                 jax.device_get(res.cost)
+                if self._map_dev is not None:
+                    # Host-backend dispatch sends the whole LM schedule
+                    # as ONE program (see _local_ba_dispatch n_slice):
+                    # warm the unsliced variants the runtime reaches
+                    # (per-KF window iters and the merge-welding 10).
+                    for it in {self.cfg.ba_iters_per_kf, 10}:
+                        res = local_ba(prob, iters=it, gate_at=it // 2)
+                        jax.device_get(res.cost)
 
         # Essential-graph (pose-graph) shape buckets: a loop closure's
         # exact vertex/edge counts are data, so the solver is called
@@ -4409,8 +4509,12 @@ class Tracker:
         # of BENCH_r02). Two-iteration slices chained device-side (no
         # host fetch between slices) bound the tracker's queue wait to
         # ~one slice; the short sleep paces the dispatches so the queue
-        # never holds more than ~2 slices.
-        n_slice = 2
+        # never holds more than ~2 slices. On the HOST CPU backend
+        # (tunneled-chip placement) none of that applies — the solve
+        # does not share the tracking device's stream — so the whole
+        # schedule goes out as one program and the pacing sleeps
+        # (~24 ms of pure wall time per mapping step) are skipped.
+        n_slice = iters if self._map_dev is not None else 2
         res = None
         for it0 in range(0, iters, n_slice):
             res = run_ba(
@@ -4419,7 +4523,11 @@ class Tracker:
                 inlier0=None if res is None else res.inlier_carry,
                 lam0=None if res is None else res.lam,
             )
-            if it0 + n_slice < iters and self.worker is not None:
+            if (
+                it0 + n_slice < iters
+                and self.worker is not None
+                and self._map_dev is None
+            ):
                 # Pace the slices: the solve shares the tracking
                 # device's stream, and a gap between slices lets the
                 # queued frame programs interleave.
