@@ -350,6 +350,12 @@ class LoopCloser:
         self.pending: tuple[int, int] | None = None  # (kf, candidate)
         self.n_loops_closed = 0
         self.n_merges = 0
+        # Event trail for diagnostics/bench: one dict per acted loop
+        # closure with frame ids and the corrective scale (a scale far
+        # from 1.0 quantifies how much monocular scale drift the map
+        # had accumulated by the revisit; a match frame far from the
+        # true revisit exposes a false loop).
+        self.events: list[dict] = []
         # Whole-map bundle adjustment after loop correction, bound by the
         # Tracker (the reference spawns RunGlobalBundleAdjustment,
         # src/LoopClosing.cc:1346,2306). Called as hook(kf, candidate).
@@ -776,7 +782,15 @@ class LoopCloser:
 
     def _correct_loop_locked(self, k: int, c: int, s, R, t):
         m = self.m
-        log.info("closing loop: KF %d -> KF %d (scale %.4f)", k, c, s)
+        log.info(
+            "closing loop: KF %d (frame %d) -> KF %d (frame %d), scale %.4f",
+            k, int(m.kf_frame_id[k]), c, int(m.kf_frame_id[c]), s,
+        )
+        self.events.append({
+            "kind": "loop", "kf": int(k),
+            "kf_frame": int(m.kf_frame_id[k]), "match": int(c),
+            "match_frame": int(m.kf_frame_id[c]), "scale": float(s),
+        })
 
         # Corrected Sim3 pose of k: S_kw_corr = S_kc o S_cw.
         s_corr, R_corr, t_corr = _sim3_mul_np(

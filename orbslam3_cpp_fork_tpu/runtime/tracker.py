@@ -1088,6 +1088,9 @@ class Tracker:
         # own tail instead of leaving it to a judge's log-diving
         # (VERDICT r3 item 1 / r4 weak 3).
         self.frame_causes: dict[int, list[str]] = collections.defaultdict(list)
+        # Correction-event trail (global BA apply/drop with sizes) for
+        # diagnostics — pairs with LoopCloser.events.
+        self.events: list[dict] = []
         self._last_n_in = 0  # latest tracked-inlier count (any path)
         self.n_pipelined_frames = 0
         self.n_sync_frames = 0
@@ -4701,6 +4704,7 @@ class Tracker:
         m = snap["map"]
         with self.map_lock:
             if m not in self.atlas.maps:
+                self.events.append({"kind": "gba_drop", "why": "map_gone"})
                 return  # map was reset/merged away during the solve
             in_snap = (
                 m.kf_valid & snap["kf_valid"] & (m.kf_gen == snap["kf_gen"])
@@ -4754,6 +4758,11 @@ class Tracker:
                     "%d new landmarks created during the solve",
                     len(new_k), len(new_l),
                 )
+            self.events.append({
+                "kind": "gba_apply",
+                "n_kf": int(in_snap.sum()), "n_new_kf": len(new_k),
+                "n_new_lm": len(new_l),
+            })
             # Bump INSIDE the lock: stale in-flight worker results are
             # guarded by big_change_idx, so the bump must be visible
             # before any other thread can observe the corrected poses.
